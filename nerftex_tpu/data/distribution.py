@@ -1,0 +1,109 @@
+"""Camera/parameter distributions (host-side numpy).
+
+Mirror of reference data/distribution.py:11-75: Sphere (area-uniform via
+(u,v) ranges), Hemisphere, AABB, Constant, Range, Concat — each driven by a
+Sampler from nerftex_tpu.data.sampler.
+"""
+
+from typing import Union
+
+import numpy as np
+
+from nerftex_tpu.utils import util
+from nerftex_tpu.utils.util import EasyDict
+
+
+class Distribution:
+    def __init__(self, sampler_config: EasyDict) -> None:
+        self.sampler = util.instantiate(sampler_config)
+
+
+class Sphere(Distribution):
+    """Uniform points on the unit sphere, restricted to (u,v) sub-ranges
+    (u maps to z in [-1,1], v to azimuth) — distribution.py:11-21."""
+
+    def __init__(
+        self,
+        sampler_config: EasyDict = None,
+        u_range: list = (0, 1.0),
+        v_range: list = (0, 1.0),
+    ) -> None:
+        if sampler_config is None:
+            sampler_config = EasyDict({"module": "data.sampler.Independent", "d": 2})
+        super().__init__(sampler_config)
+        self.map_range = np.stack(
+            [1 - 2 * np.array(u_range), 2 * np.pi * np.array(v_range)], -1
+        )
+
+    def __call__(self) -> np.ndarray:
+        x = self.sampler()
+        x_map = (1 - x) * self.map_range[0] + x * self.map_range[1]
+        s = np.sqrt(max(1 - x_map[0] ** 2, 0.0))
+        return np.array([np.cos(x_map[1]) * s, np.sin(x_map[1]) * s, x_map[0]])
+
+
+def Hemisphere(axis=2, **kwargs):
+    """Uniform points on a hemisphere around +axis (distribution.py:23-34)."""
+    u_range = [0, 1.0]
+    v_range = [0, 1.0]
+    if axis == 0:
+        v_range = [-0.25, 0.25]
+    elif axis == 1:
+        v_range = [0, 0.5]
+    elif axis == 2:
+        u_range = [0, 0.5]
+    return Sphere(u_range=u_range, v_range=v_range, **kwargs)
+
+
+class AABB(Distribution):
+    """Uniform points in a box [b_0, b_1] (distribution.py:36-45)."""
+
+    def __init__(
+        self,
+        sampler_config: EasyDict = None,
+        b_0: Union[float, list] = 0.0,
+        b_1: Union[float, list] = 1.0,
+    ) -> None:
+        if sampler_config is None:
+            sampler_config = EasyDict({"module": "data.sampler.Independent", "d": 3})
+        super().__init__(sampler_config)
+        self.map_range = np.stack([b_0, b_1])
+
+    def __call__(self) -> np.ndarray:
+        x = self.sampler()
+        return (1 - x) * self.map_range[0] + x * self.map_range[1]
+
+
+class Constant(Distribution):
+    """Cycle through a list of constants (distribution.py:47-56)."""
+
+    def __init__(self, constants: list = ((0,),)) -> None:
+        super().__init__(EasyDict({"module": "data.sampler.Sampler", "n": len(constants)}))
+        self.constants = np.array(constants)
+
+    def __call__(self) -> np.ndarray:
+        x = self.constants[self.sampler.idx % self.sampler.n]
+        self.sampler()
+        return x
+
+
+def Range(n: int = 128, b_0: Union[float, list] = 0.0, b_1: Union[float, list] = 1.0):
+    """Sweep [b_0, b_1] on a grid (distribution.py:58-60)."""
+    return AABB(EasyDict({"module": "data.sampler.Grid", "n": n}), b_0, b_1)
+
+
+class Concat(Distribution):
+    """Concatenate two distributions' draws (distribution.py:62-75)."""
+
+    def __init__(self, distribution_config_0: EasyDict, distribution_config_1: EasyDict) -> None:
+        self.distribution_0 = util.instantiate(distribution_config_0)
+        self.distribution_1 = util.instantiate(distribution_config_1)
+        if self.distribution_0.sampler.n == -1 or self.distribution_1.sampler.n == -1:
+            max_size = -1
+        else:
+            max_size = max(self.distribution_0.sampler.n, self.distribution_1.sampler.n)
+        super().__init__(EasyDict({"module": "data.sampler.Sampler", "n": max_size}))
+
+    def __call__(self) -> np.ndarray:
+        self.sampler()
+        return np.concatenate([self.distribution_0(), self.distribution_1()])

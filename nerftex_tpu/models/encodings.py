@@ -1,0 +1,63 @@
+"""Input encodings: Fourier features + mip-NeRF integrated positional encoding.
+
+Parity targets: reference network/layer.py:8-23 (FourierFeatures — output
+layout [x, sin(2^0 x), cos(2^0 x), ..., sin(2^{n-1} x), cos(2^{n-1} x)],
+each block spanning all input dims) and network/layer.py:25-41
+(IntegratedPositionalEncoding over [mean(3), diag-cov(3)] inputs).
+
+Encodings are stateless pure callables so they can be traced straight into
+the fused MLP kernels.
+"""
+
+from math import pi
+
+import jax.numpy as jnp
+
+
+class FourierFeatures:
+    """gamma(x) = [x, sin(2^k x), cos(2^k x)]_{k<n}; out dim d*(2n+1)."""
+
+    def __init__(self, n_freq_bands: int) -> None:
+        self.n_freq_bands = int(n_freq_bands)
+
+    def out_dim(self, in_dim: int) -> int:
+        return in_dim * (2 * self.n_freq_bands + 1)
+
+    def __call__(self, x):
+        x = jnp.asarray(x)
+        feats = [x]
+        for k in range(self.n_freq_bands):
+            freq = jnp.asarray(2.0**k, x.dtype)
+            feats.append(jnp.sin(freq * x))
+            feats.append(jnp.cos(freq * x))
+        return jnp.concatenate(feats, -1)
+
+
+class IntegratedPositionalEncoding:
+    """Expected sin/cos of a diagonal Gaussian (mean, cov) lifted through the
+    frequency ladder; input [..., 6] = [mu(3), var(3)], output [N, 6n]."""
+
+    def __init__(self, n_freq_bands: int) -> None:
+        self.n_freq_bands = int(n_freq_bands)
+
+    def out_dim(self, in_dim: int) -> int:
+        # Defined for the 6-D (mean, var) input only.
+        return 6 * self.n_freq_bands
+
+    def __call__(self, x):
+        x = jnp.asarray(x)
+        n = self.n_freq_bands
+        freqs = 2.0 ** jnp.arange(n, dtype=x.dtype)
+
+        # [..., n, 3] -> flattened [N, 3n] with layout [f0*x, f0*y, f0*z, f1*x, ...]
+        y = jnp.reshape(x[..., None, :3] * freqs[:, None], (-1, 3 * n))
+        y_var = jnp.reshape(x[..., None, 3:] * (freqs**2)[:, None], (-1, 3 * n))
+
+        z = jnp.concatenate([y, y + 0.5 * pi], axis=-1)
+        z_var = jnp.concatenate([y_var, y_var], axis=-1)
+        return expected_sin(z, z_var)
+
+
+def expected_sin(x, x_var):
+    """E[sin(z)] for z ~ N(x, x_var) (layer.py:40-41)."""
+    return jnp.sin(x) * jnp.exp(-0.5 * x_var)

@@ -1,0 +1,250 @@
+"""Conditioned NeRF MLPs as pure pytrees + jit-traceable apply functions.
+
+Parity targets (topology, widths, skip placement, activation choices):
+  - Nerf:       reference network/model.py:9-45
+  - CoarseFine: reference network/model.py:47-56
+  - ParamNerf:  reference network/model.py:58-125 (geometry params joined to
+    the position features, appearance params joined to the direction features,
+    optional param_depth MLPs, color_depth extra layers, n_pos=6 IPE variant)
+
+Design: a factory returns {name: Model}; Model.params is a pytree of dense
+layers (glorot-uniform kernels / zero biases, matching keras Dense defaults)
+and Model.apply(params, pos, dirs, prms) -> (color_logits [N,3],
+density_logit [N,1]) is a pure function — the training loop differentiates
+through it and renderers jit it.  Heads emit raw logits; sigmoid/elu mapping
+happens in the renderer (renderer.py:182-187), as in the reference.
+"""
+
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+from nerftex_tpu.utils import util
+from nerftex_tpu.utils.util import EasyDict
+from nerftex_tpu.utils import rng
+
+# Counter so successive factory calls (e.g. CoarseFine's two models) get
+# distinct-but-deterministic init keys under one global seed.
+_INIT_COUNTER = [0]
+
+
+def _next_init_key():
+    key = jax.random.fold_in(rng.base_key(), 1000 + _INIT_COUNTER[0])
+    _INIT_COUNTER[0] += 1
+    return key
+
+
+def _dense_init(key, fan_in: int, fan_out: int):
+    limit = (6.0 / (fan_in + fan_out)) ** 0.5
+    w = jax.random.uniform(key, (fan_in, fan_out), jnp.float32, -limit, limit)
+    return {"w": w, "b": jnp.zeros((fan_out,), jnp.float32)}
+
+
+def _dense(p, x, compute_dtype):
+    w = p["w"].astype(compute_dtype)
+    b = p["b"].astype(compute_dtype)
+    return jnp.dot(x.astype(compute_dtype), w, preferred_element_type=compute_dtype) + b
+
+
+class Model:
+    """Pure-pytree model wrapper: params + static apply.
+
+    Call convention mirrors keras' functional model in the reference:
+    model((pos, dirs, prms), training=...) -> (color_logits, density_logit).
+    """
+
+    def __init__(self, name, params, apply_fn):
+        self.name = name
+        self.params = params
+        self.apply = apply_fn
+
+    def __call__(self, inputs, training: bool = False):
+        pos, dirs, prms = inputs
+        return self.apply(self.params, pos, dirs, prms)
+
+    @property
+    def trainable_variables(self):
+        return jax.tree.leaves(self.params)
+
+    def n_params(self) -> int:
+        return sum(int(v.size) for v in self.trainable_variables)
+
+    def summary(self) -> None:
+        print(f"Model '{self.name}': {self.n_params():,} parameters")
+
+
+def _instantiate_embedding(config):
+    emb = util.instantiate(config)
+    return emb
+
+
+def Nerf(
+    pos_embedding: EasyDict,
+    dir_embedding: EasyDict,
+    depth: int = 8,
+    width: int = 256,
+    skips: list = (4,),
+    name: str = "model",
+    compute_dtype: str = "float32",
+    **kwargs,
+) -> dict:
+    """Classic 8x256 NeRF MLP with skip connection and view-dependent color
+    head (model.py:9-45).  Accepts-and-ignores a parameter input like the
+    reference's dummy 'params' keras Input."""
+    pos_fm = _instantiate_embedding(pos_embedding)
+    dir_fm = _instantiate_embedding(dir_embedding)
+    skips = tuple(skips)
+    cdt = jnp.dtype(compute_dtype)
+
+    pos_dim = pos_fm.out_dim(3)
+    dir_dim = dir_fm.out_dim(3)
+
+    key = _next_init_key()
+    keys = iter(jax.random.split(key, depth + 4))
+
+    params = {"trunk": [], "alpha": None, "bottleneck": None, "pre_color": None, "color": None}
+    in_dim = pos_dim
+    for i in range(depth):
+        params["trunk"].append(_dense_init(next(keys), in_dim, width))
+        in_dim = width + (pos_dim if i in skips else 0)
+    params["alpha"] = _dense_init(next(keys), in_dim, 1)
+    params["bottleneck"] = _dense_init(next(keys), in_dim, width)
+    params["pre_color"] = _dense_init(next(keys), width + dir_dim, width // 2)
+    params["color"] = _dense_init(next(keys), width // 2, 3)
+
+    def apply(p, pos, dirs, prms):
+        del prms
+        pos_map = pos_fm(pos).astype(cdt)
+        dir_map = dir_fm(dirs).astype(cdt)
+
+        h = pos_map
+        for i in range(depth):
+            h = jax.nn.relu(_dense(p["trunk"][i], h, cdt))
+            if i in skips:
+                h = jnp.concatenate([pos_map, h], -1)
+        density = _dense(p["alpha"], h, cdt)
+        h = _dense(p["bottleneck"], h, cdt)
+        h = jnp.concatenate([dir_map, h], -1)
+        h = jax.nn.relu(_dense(p["pre_color"], h, cdt))
+        color = _dense(p["color"], h, cdt)
+        return color.astype(jnp.float32), density.astype(jnp.float32)
+
+    return {name: Model(name, params, apply)}
+
+
+def CoarseFine(model_config: EasyDict, **kwargs) -> dict:
+    """Duplicate a model config into {model, model_fine} (model.py:47-56)."""
+    model_config = EasyDict(model_config)
+    for key, value in kwargs.items():
+        model_config.setdefault(key, value)
+    model_coarse = util.instantiate(model_config)
+    model_config["name"] = next(iter(model_coarse)) + "_fine"
+    model_fine = util.instantiate(model_config)
+    return dict(model_coarse, **model_fine)
+
+
+def ParamNerf(
+    pos_embedding: EasyDict,
+    dir_embedding: EasyDict,
+    param_embedding: EasyDict,
+    n_parameters: Union[int, list],
+    n_pos: int = 3,
+    param_depth: int = 0,
+    param_width: int = 128,
+    depth: int = 8,
+    width: int = 256,
+    skips: list = (4,),
+    color_depth: int = 1,
+    embedding_config: EasyDict = None,
+    include_param_dims: bool = False,
+    name: str = "model",
+    compute_dtype: str = "float32",
+) -> dict:
+    """NeRF MLP conditioned on auxiliary material/light parameters
+    (model.py:58-125)."""
+    if isinstance(n_parameters, int):
+        n_parameters = [n_parameters, 0]
+    n_geo, n_app = int(n_parameters[0]), int(n_parameters[1])
+    n_total = n_geo + n_app
+    skips = tuple(skips)
+    cdt = jnp.dtype(compute_dtype)
+
+    pos_fm = _instantiate_embedding(pos_embedding)
+    dir_fm = _instantiate_embedding(dir_embedding)
+    param_fm = _instantiate_embedding(param_embedding)
+    extra_fm = _instantiate_embedding(embedding_config) if embedding_config else None
+
+    pos_dim = pos_fm.out_dim(n_pos)
+    dir_dim = dir_fm.out_dim(3)
+    if extra_fm is not None:
+        extra_in = n_pos + (n_total if include_param_dims else 0)
+        pos_dim += extra_fm.out_dim(extra_in)
+
+    key = _next_init_key()
+    keys = iter(jax.random.split(key, depth + 2 * param_depth + color_depth + 8))
+
+    params = {"trunk": [], "param_geo": [], "param_app": [], "color_layers": []}
+
+    geo_dim = 0
+    if n_geo > 0:
+        geo_dim = param_fm.out_dim(n_geo)
+        for _ in range(param_depth):
+            params["param_geo"].append(_dense_init(next(keys), geo_dim, param_width))
+            geo_dim = param_width
+    app_dim = 0
+    if n_app > 0:
+        app_dim = param_fm.out_dim(n_app)
+        for _ in range(param_depth):
+            params["param_app"].append(_dense_init(next(keys), app_dim, param_width))
+            app_dim = param_width
+
+    trunk_in_dim = pos_dim + geo_dim  # "pos_inputs_map" after geo concat
+    in_dim = trunk_in_dim
+    for i in range(depth):
+        params["trunk"].append(_dense_init(next(keys), in_dim, width))
+        in_dim = width + (trunk_in_dim if i in skips else 0)
+    params["alpha"] = _dense_init(next(keys), in_dim, 1)
+    params["bottleneck"] = _dense_init(next(keys), in_dim, width)
+    in_dim = width + dir_dim + app_dim
+    for _ in range(color_depth):
+        params["color_layers"].append(_dense_init(next(keys), in_dim, width))
+        in_dim = width
+    params["pre_color"] = _dense_init(next(keys), in_dim, width // 2)
+    params["color"] = _dense_init(next(keys), width // 2, 3)
+
+    def apply(p, pos, dirs, prms):
+        pos_map = pos_fm(pos).astype(cdt)
+        dir_map = dir_fm(dirs).astype(cdt)
+
+        if extra_fm is not None:
+            emb_in = jnp.concatenate([pos, prms], -1) if include_param_dims else pos
+            pos_map = jnp.concatenate([pos_map, extra_fm(emb_in).astype(cdt)], -1)
+
+        if n_geo > 0:
+            g = param_fm(prms[:, :n_geo]).astype(cdt)
+            for layer in p["param_geo"]:
+                g = jax.nn.relu(_dense(layer, g, cdt))
+            pos_map = jnp.concatenate([pos_map, g], -1)
+
+        if n_app > 0:
+            a = param_fm(prms[:, n_geo:]).astype(cdt)
+            for layer in p["param_app"]:
+                a = jax.nn.relu(_dense(layer, a, cdt))
+            dir_map = jnp.concatenate([dir_map, a], -1)
+
+        h = pos_map
+        for i in range(depth):
+            h = jax.nn.relu(_dense(p["trunk"][i], h, cdt))
+            if i in skips:
+                h = jnp.concatenate([pos_map, h], -1)
+        density = _dense(p["alpha"], h, cdt)
+        h = _dense(p["bottleneck"], h, cdt)
+        h = jnp.concatenate([dir_map, h], -1)
+        for layer in p["color_layers"]:
+            h = jax.nn.relu(_dense(layer, h, cdt))
+        h = jax.nn.relu(_dense(p["pre_color"], h, cdt))
+        color = _dense(p["color"], h, cdt)
+        return color.astype(jnp.float32), density.astype(jnp.float32)
+
+    return {name: Model(name, params, apply)}
