@@ -12,3 +12,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 # Make the repo root importable regardless of pytest rootdir config.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent compilation cache: this box has one CPU core, so re-compiles
+# dominate test time without it.
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
