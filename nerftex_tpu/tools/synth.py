@@ -1,0 +1,142 @@
+"""Synthetic swatch datasets: analytic stand-in for the Blender toolchain.
+
+The reference creates training data by rendering a material swatch in Cycles
+(data/create_dataset.py) — those .blend assets aren't available here, so this
+generates parameter-conditioned images of an *analytic* volume with the same
+TFRecord schema (image/pose/angle/parameters).  The field responds to the
+conventional parameter layout [geometry..., appearance..., light dir x3]:
+geometry scales the slab height, appearance tints the medium, the light
+direction shades it.  Training the ParamNerf on this data must converge —
+which makes it the framework's end-to-end integration/benchmark workload.
+"""
+
+import os
+
+import numpy as np
+
+from nerftex_tpu.data import tfrecord as tfr
+from nerftex_tpu.data.dataset import look_at_np
+from nerftex_tpu.data.ray_sampler import rays_from_camera_np
+from nerftex_tpu.data.distribution import Hemisphere
+from nerftex_tpu.utils.image import encode_png
+
+
+def field_density(pts, geo, b_0, b_1):
+    """Soft slab whose height scales with the first geometry parameter."""
+    z0, z1 = b_0[2], b_1[2]
+    height = z0 + (0.25 + 0.65 * float(geo[0])) * (z1 - z0)
+    in_xy = np.all((pts[..., :2] > b_0[:2]) & (pts[..., :2] < b_1[:2]), -1)
+    sigma = 25.0 / (1.0 + np.exp(-12.0 * (height - pts[..., 2])))
+    return sigma * in_xy
+
+
+def field_color(pts, dirs, app, light):
+    """Appearance-tinted lambert-ish shading against the light direction."""
+    base = np.array([0.9, 0.55, 0.25], np.float32)
+    if len(app) >= 1:
+        base = base * (0.4 + 0.6 * float(app[0]))
+    if len(app) >= 2:
+        base = base ** (0.5 + float(app[1]))
+    ambient = float(app[2]) if len(app) >= 3 else 0.15
+    shade = ambient + 0.85 * max(0.0, -float(light[2]))
+    stripes = 0.75 + 0.25 * np.sin(8.0 * pts[..., 0]) * np.sin(8.0 * pts[..., 1])
+    return np.clip(base[None, :] * (shade * stripes)[..., None], 0, 1)
+
+
+def render_swatch(pose, params, n_geo, size, angle, b_0, b_1, n_steps=192):
+    """Numerically integrate the analytic field along camera rays -> RGBA."""
+    focal = size / np.tan(angle / 2) / 2
+    idx = np.arange(size * size)
+    loc = np.stack([idx // size, idx % size], -1).astype(np.float32)
+    rays_o, rays_d, _ = rays_from_camera_np(loc, size, size, focal, pose)
+    rays_d = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    from nerftex_tpu.ops.proxy import aabb_intersect_np
+
+    t = aabb_intersect_np(rays_o, rays_d, b_0, b_1)
+    hit = np.isfinite(t[:, 0])
+    t0 = np.where(hit, t[:, 0], 0)
+    t1 = np.where(hit, t[:, 1], 0)
+
+    zs = t0[:, None] + (t1 - t0)[:, None] * np.linspace(0, 1, n_steps)[None]
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * zs[..., None]
+
+    geo = params[:n_geo]
+    app = params[n_geo:-3] if len(params) >= 3 else params[n_geo:]
+    light = params[-3:] if len(params) >= 3 else np.array([0, 0, -1.0])
+
+    sigma = field_density(pts, geo, np.asarray(b_0), np.asarray(b_1))
+    color = field_color(pts, rays_d, app, light)
+
+    dists = np.diff(zs, axis=-1)
+    dists = np.concatenate([dists, dists[:, -1:]], -1)
+    alpha = 1 - np.exp(-sigma * dists)
+    trans = np.cumprod(1 - alpha + 1e-10, -1)
+    trans = np.concatenate([np.ones_like(trans[:, :1]), trans[:, :-1]], -1)
+    w = alpha * trans
+
+    rgb = (w[..., None] * color).sum(1)
+    a = w.sum(1)
+    rgba = np.concatenate([rgb, a[:, None]], -1).reshape(size, size, 4)
+    rgba[..., :3] = np.divide(
+        rgba[..., :3], np.maximum(rgba[..., 3:], 1e-5), where=rgba[..., 3:] > 1e-5
+    )
+    return np.clip(rgba, 0, 1)
+
+
+def make_synthetic_tfrecord(
+    path,
+    n_images: int = 32,
+    size: int = 32,
+    angle: float = 0.63,
+    b_0=(-1.5, -1.3, -0.2),
+    b_1=(1.3, 1.3, 1.9),
+    n_parameters=(1, 6),
+    radius: float = 5.0,
+    seed: int = 0,
+):
+    """Write a reference-schema TFRecord of analytic swatch renders."""
+    rs = np.random.RandomState(seed)
+    np_state = np.random.get_state()
+    np.random.seed(seed)
+    try:
+        hemi = Hemisphere()
+        n_geo, n_app = n_parameters
+        payloads = []
+        for _ in range(n_images):
+            pos = hemi() * radius
+            pose = look_at_np(pos)
+            params = rs.rand(n_geo + n_app).astype(np.float32)
+            if n_app >= 3:
+                light = hemi()
+                params[-3:] = -light  # light direction points downward
+            rgba = render_swatch(pose, params, n_geo, size, angle, np.asarray(b_0), np.asarray(b_1))
+            payloads.append(
+                tfr.build_example(
+                    {
+                        "image": encode_png(rgba),
+                        "pose": tfr.serialize_tensor(pose.astype(np.float32)),
+                        "angle": float(angle),
+                        "parameters": tfr.serialize_tensor(params),
+                    }
+                )
+            )
+    finally:
+        np.random.set_state(np_state)
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tfr.write_records(path, payloads)
+    return path
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Generate a synthetic swatch TFRecord.")
+    ap.add_argument("out", help="output .tfr path")
+    ap.add_argument("--n-images", type=int, default=128)
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    make_synthetic_tfrecord(args.out, n_images=args.n_images, size=args.size, seed=args.seed)
+    print(args.out)
