@@ -1,0 +1,131 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nerftex_tpu.utils.util import EasyDict
+from nerftex_tpu.utils import util, rng
+from nerftex_tpu.parallel.mesh import (
+    make_mesh,
+    make_parallel_train_step,
+    model_shardings,
+)
+from nerftex_tpu.render.train import make_optimizer, make_train_step
+from nerftex_tpu.render.renderer import Renderer
+from nerftex_tpu.render.loss import AlphaLoss
+
+
+def _setup(n_geo=1, n_app=6, depth=4, width=64):
+    rng.set_seed(0)
+    import nerftex_tpu.models.mlp as mlp_mod
+
+    mlp_mod._INIT_COUNTER[0] = 0
+    models = util.instantiate(
+        EasyDict(
+            {
+                "module": "network.model.ParamNerf",
+                "pos_embedding": {"module": "network.model.FourierFeatures", "n_freq_bands": 6},
+                "dir_embedding": {"module": "network.model.FourierFeatures", "n_freq_bands": 2},
+                "param_embedding": {"module": "network.model.FourierFeatures", "n_freq_bands": 2},
+                "n_parameters": [n_geo, n_app],
+                "depth": depth,
+                "width": width,
+                "skips": [2],
+            }
+        )
+    )
+    renderer = Renderer(model=models["model"], n_samples=16, perturb=False)
+    loss_fn = AlphaLoss(loss_fn="network.loss.smape", alpha_loss_fn="network.loss.mse")
+    optimizer = make_optimizer(5e-4, 500)
+    return models, renderer, loss_fn, optimizer
+
+
+def _batch(b=2, r=32, p=7, seed=0):
+    rs = np.random.RandomState(seed)
+    return {
+        "rays_o": rs.randn(b, r, 3).astype(np.float32) * 0.1 + np.array([0, 0, 3], np.float32),
+        "rays_d": np.tile(np.array([0, 0, -1.0], np.float32), (b, r, 1)),
+        "t": np.tile(np.array([2.0, 4.0], np.float32), (b, r, 1)),
+        "parameters": rs.rand(b, p).astype(np.float32),
+        "cone_scale": np.full((b, r, 1), 0.01, np.float32),
+        "color": rs.rand(b, r, 3).astype(np.float32),
+        "alpha": rs.randint(0, 2, (b, r)).astype(np.float32),
+    }
+
+
+def test_mesh_has_8_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_dp_train_step_matches_single_device():
+    models, renderer, loss_fn, optimizer = _setup()
+    params = {"model": models["model"].params}
+    batch = _batch(b=2, r=32)
+    key = jax.random.key(7)
+
+    # Single device.
+    single = make_train_step(renderer, loss_fn, optimizer, False, [1, 1, 1.0], donate=False)
+    opt0 = optimizer.init(params)
+    p1, o1, loss1 = single(params, opt0, {k: jnp.asarray(v) for k, v in batch.items()}, key)
+
+    # 8-way dp over the ray axis.
+    mesh = make_mesh(8, shape=(8, 1))
+    step, place_params, place_batch = make_parallel_train_step(
+        renderer, loss_fn, optimizer, mesh, False, [1, 1, 1.0], batch, params
+    )
+    p_placed = place_params(params)
+    opt0b = jax.device_put(optimizer.init(params), jax.tree.map(lambda _: None, optimizer.init(params)) or None) if False else optimizer.init(p_placed)
+    p2, o2, loss2 = step(p_placed, opt0b, place_batch(batch), key)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_tp_train_step_matches_single_device():
+    models, renderer, loss_fn, optimizer = _setup()
+    params = {"model": models["model"].params}
+    batch = _batch(b=2, r=16)
+    key = jax.random.key(3)
+
+    single = make_train_step(renderer, loss_fn, optimizer, False, [1, 1, 1.0], donate=False)
+    p1, _, loss1 = single(params, optimizer.init(params), {k: jnp.asarray(v) for k, v in batch.items()}, key)
+
+    mesh = make_mesh(8, shape=(4, 2))  # dp=4 x tp=2
+    step, place_params, place_batch = make_parallel_train_step(
+        renderer, loss_fn, optimizer, mesh, False, [1, 1, 1.0], batch, params,
+        shard_model=True,
+    )
+    p_placed = place_params(params)
+    p2, _, loss2 = step(p_placed, optimizer.init(p_placed), place_batch(batch), key)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_model_shardings_alternate():
+    models, *_ = _setup(depth=4)
+    params = {"model": models["model"].params}
+    mesh = make_mesh(8, shape=(4, 2))
+    shardings = model_shardings(params, mesh)
+    specs = [s.spec for s in [shardings["model"]["trunk"][i]["w"] for i in range(4)]]
+    assert specs[0] == (None, "model")
+    assert specs[1] == ("model", None)
+    assert specs[2] == (None, "model")
+
+
+def test_sharded_render_matches_replicated():
+    models, renderer, *_ = _setup()
+    mesh = make_mesh(8, shape=(8, 1))
+    batch = _batch(b=1, r=64)
+    data = {k: v for k, v in batch.items() if k not in ("color", "alpha")}
+    out_ref = renderer(**data, training=False, key=jax.random.key(0))
+
+    from nerftex_tpu.parallel.mesh import shard_render
+
+    sharded = shard_render(renderer, mesh)
+    out_sh = sharded(**data, training=False, key=jax.random.key(0))
+    np.testing.assert_allclose(
+        np.asarray(out_ref["color_pred"]), np.asarray(out_sh["color_pred"]), atol=1e-5
+    )
