@@ -1,0 +1,690 @@
+"""Device instancer: the Embree ray-marcher re-derived as data-parallel XLA.
+
+Replaces the per-ray half of the reference's C++ instancer
+(C_Instancer::GetModelInput, instancer.cpp:751-1037).  The serial active-set
+walk becomes fixed-shape array algebra (SURVEY.md §7 stage 6):
+
+  1. every ray is slab-tested against every instance's local unit box — the
+     world-t entry/exit intervals replace Embree's multi-hit BVH events;
+  2. top-K intervals per ray (K = max_hits, the MAX_TOTAL_HITS analogue;
+     overflow is *counted*, instancer.cpp:22,1036) are clipped at the first
+     mesh hit (Möller–Trumbore over the triangle soup);
+  3. the union-of-intervals segment walk becomes sorted entry/exit events +
+     prefix sums of inside-gap lengths; equal-arc-length sample positions map
+     to world t by searchsorted over the cumulative inside length —
+     closed-form replacement for the reference's segment_offset bookkeeping
+     (instancer.cpp:866-1014);
+  4. per-sample overlap resolution (random / nearest / nearest_blend,
+     instancer.cpp:670-713) runs vectorized over the K candidates with
+     per-sample PRNG; density weights match the reference's;
+  5. local-frame transforms, closest-point texture parameter lookups (against
+     per-instance candidate triangles baked by the scene compiler), shadow
+     rays (sparse along the arc + nearest-neighbor assignment, like the
+     reference's interpolation path, instancer.cpp:929-951) and the opaque
+     mesh terminator (shadeMesh, instancer.cpp:716-743) are all batched.
+
+Everything is jit-compiled per (rays, samples) shape; rays stream through a
+lax.map over fixed-size blocks to bound live memory.  The host never sees a
+sample — this is the round-trip the reference paid per chunk
+(instancer.pyx:38-54) and the benchmark's north star removes.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerftex_tpu.instancing.scene import Scene
+from nerftex_tpu.ops.volume import mean_distance
+
+T_FAR = 100.0
+
+
+# ---------------------------------------------------------------------------
+# Scene data as a device pytree
+# ---------------------------------------------------------------------------
+
+
+class DeviceScene:
+    """jnp mirror of the compiled Scene (+ static metadata)."""
+
+    def __init__(self, scene: Scene):
+        self.scene = scene
+        f32 = jnp.float32
+
+        n = scene.n_instances()
+        self.n_instances = n
+        inv = np.asarray(scene.inverse, np.float32).reshape(n, 4, 4)
+        self.inv_rot = jnp.asarray(inv[:, :3, :3], f32)
+        self.inv_trans = jnp.asarray(inv[:, :3, 3], f32)
+        self.dir_inv = jnp.asarray(np.asarray(scene.dir_inverse, np.float32), f32)
+        self.origins = jnp.asarray(np.asarray(scene.origins, np.float32), f32)
+        self.b_0 = jnp.asarray(scene.b_0, f32)
+        self.b_1 = jnp.asarray(scene.b_1, f32)
+
+        # Triangle soup: base mesh (mesh_id 0) + aux meshes (1..).
+        v0s, e1s, e2s, n_rows, uv_rows, mesh_ids = [], [], [], [], [], []
+        meshes = ([scene.base_mesh] if scene.base_mesh is not None else []) + list(scene.aux_meshes)
+        self.meshes = meshes
+        for mid, mesh in enumerate(meshes):
+            V, F = mesh.V, mesh.F
+            if len(F) == 0:
+                continue
+            v0s.append(V[F[:, 0]])
+            e1s.append(V[F[:, 1]] - V[F[:, 0]])
+            e2s.append(V[F[:, 2]] - V[F[:, 0]])
+            n_rows.append(np.stack([mesh.N[F[:, k]] for k in range(3)], 1))
+            uv_rows.append(np.stack([mesh.UV[F[:, k]] for k in range(3)], 1))
+            mesh_ids.append(np.full(len(F), mid, np.int32))
+        if v0s:
+            self.tri_v0 = jnp.asarray(np.concatenate(v0s), f32)
+            self.tri_e1 = jnp.asarray(np.concatenate(e1s), f32)
+            self.tri_e2 = jnp.asarray(np.concatenate(e2s), f32)
+            self.tri_n = jnp.asarray(np.concatenate(n_rows), f32)       # [T,3,3]
+            self.tri_uv = jnp.asarray(np.concatenate(uv_rows), f32)     # [T,3,2]
+            self.tri_mesh_id = jnp.asarray(np.concatenate(mesh_ids))
+            self.n_tris = int(self.tri_v0.shape[0])
+        else:
+            self.n_tris = 0
+
+        # Per-instance candidate triangles for texture lookups.
+        if getattr(scene, "instance_tri_candidates", None) is not None and scene.base_mesh is not None:
+            self.tri_candidates = jnp.asarray(scene.instance_tri_candidates)
+            self.k_tri = int(self.tri_candidates.shape[1])
+        else:
+            self.tri_candidates = None
+            self.k_tri = 0
+        if getattr(scene, "anchor_uv", None) is not None:
+            self.anchor_uv = jnp.asarray(scene.anchor_uv)
+            self.uv_jacobian = jnp.asarray(scene.uv_jacobian)
+        else:
+            self.anchor_uv = None
+            self.uv_jacobian = None
+
+        # Parameter texture channels, padded to a common [C, W, H].
+        if scene.texture_channels:
+            w = max(c.shape[0] for c in scene.texture_channels)
+            h = max(c.shape[1] for c in scene.texture_channels)
+            stack = np.zeros((len(scene.texture_channels), w, h), np.float32)
+            self.tex_dims = []
+            for i, c in enumerate(scene.texture_channels):
+                stack[i, : c.shape[0], : c.shape[1]] = c
+                self.tex_dims.append((c.shape[0], c.shape[1]))
+            self.tex_channels = jnp.asarray(stack)
+        else:
+            self.tex_channels = None
+            self.tex_dims = []
+
+        # Aux albedo textures as [M, W, H, 3] (gray -> replicated), mesh_id
+        # aligned with the soup ids (entry 0 = base, unused).
+        self.mesh_tex = None
+        self.mesh_tex_dims = []
+        if meshes:
+            tex_list = []
+            any_tex = any(m.textures for m in meshes)
+            if any_tex:
+                w = max((c.shape[0] for m in meshes for c in m.textures), default=1)
+                h = max((c.shape[1] for m in meshes for c in m.textures), default=1)
+                for m in meshes:
+                    arr = np.full((w, h, 3), -1.0, np.float32)  # -1 = untextured
+                    if m.textures:
+                        chans = m.textures if len(m.textures) >= 3 else [m.textures[0]] * 3
+                        for c in range(3):
+                            ch = chans[c]
+                            arr[: ch.shape[0], : ch.shape[1], c] = ch
+                    tex_list.append(arr)
+                self.mesh_tex = jnp.asarray(np.stack(tex_list))
+                self.mesh_tex_dims = [
+                    (m.textures[0].shape if m.textures else (1, 1)) for m in meshes
+                ]
+            else:
+                self.mesh_tex = None
+                self.mesh_tex_dims = []
+
+        # Static metadata.
+        self.patch_scale = float(scene.patch_scale)
+        self.light_dir_idx = int(scene.light_dir_idx)
+        self.light_strength_idx = int(scene.light_strength_idx)
+        self.texture_parameter_idxs = tuple(scene.texture_parameter_idxs)
+        self.cast_shadow_rays = bool(scene.cast_shadow_rays)
+        self.use_mean_distance = bool(scene.use_mean_distance)
+        self.instance_sampling_method = scene.instance_sampling_method
+        self.nearest_blend_range = 0.2 * self.patch_scale
+
+
+# ---------------------------------------------------------------------------
+# jnp geometry helpers
+# ---------------------------------------------------------------------------
+
+
+def _closest_point_tri_jnp(p, a, b, c):
+    """Batched exact point-triangle closest point -> barycentric [..., 3].
+    jnp twin of scene.closest_point_triangles (instancer.cpp:154-198)."""
+    ab = b - a
+    ac = c - a
+    ap = p - a
+
+    d1 = jnp.sum(ab * ap, -1)
+    d2 = jnp.sum(ac * ap, -1)
+    bp = p - b
+    d3 = jnp.sum(ab * bp, -1)
+    d4 = jnp.sum(ac * bp, -1)
+    cp = p - c
+    d5 = jnp.sum(ab * cp, -1)
+    d6 = jnp.sum(ac * cp, -1)
+
+    vc = d1 * d4 - d3 * d2
+    vb = d5 * d2 - d1 * d6
+    va = d3 * d6 - d5 * d4
+
+    eps = 1e-20
+
+    def guard(x):
+        return jnp.where(jnp.abs(x) < eps, eps, x)
+
+    denom = 1.0 / guard(va + vb + vc)
+    v_in = vb * denom
+    w_in = vc * denom
+    v_ab = d1 / guard(d1 - d3)
+    v_ac = d2 / guard(d2 - d6)
+    v_bc = (d4 - d3) / guard((d4 - d3) + (d5 - d6))
+
+    zero = jnp.zeros_like(d1)
+    one = jnp.ones_like(d1)
+
+    bary = jnp.stack([1 - v_in - w_in, v_in, w_in], -1)
+    bary = jnp.where(((va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0))[..., None],
+                     jnp.stack([zero, 1 - v_bc, v_bc], -1), bary)
+    bary = jnp.where(((vb <= 0) & (d2 >= 0) & (d6 <= 0))[..., None],
+                     jnp.stack([1 - v_ac, zero, v_ac], -1), bary)
+    bary = jnp.where(((vc <= 0) & (d1 >= 0) & (d3 <= 0))[..., None],
+                     jnp.stack([1 - v_ab, v_ab, zero], -1), bary)
+    bary = jnp.where(((d6 >= 0) & (d5 <= d6))[..., None],
+                     jnp.stack([zero, zero, one], -1), bary)
+    bary = jnp.where(((d3 >= 0) & (d4 <= d3))[..., None],
+                     jnp.stack([zero, one, zero], -1), bary)
+    bary = jnp.where(((d1 <= 0) & (d2 <= 0))[..., None],
+                     jnp.stack([one, zero, zero], -1), bary)
+
+    bary = jnp.clip(bary, 0, 1)
+    bary = bary / jnp.maximum(bary.sum(-1, keepdims=True), eps)
+    return bary
+
+
+def _moller_trumbore(o, d, v0, e1, e2, t_max=T_FAR):
+    """First-hit over a triangle chunk.  o,d [..., 3]; v0/e1/e2 [T,3].
+    Returns (t [..., T], u, v) with inf where missed."""
+    pvec = jnp.cross(d[..., None, :], e2)
+    det = jnp.sum(e1 * pvec, -1)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    tvec = o[..., None, :] - v0
+    u = jnp.sum(tvec * pvec, -1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d[..., None, :] * qvec, -1) * inv_det
+    t = jnp.sum(e2 * qvec, -1) * inv_det
+    ok = (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-6) & (t < t_max)
+    return jnp.where(ok, t, jnp.inf), u, v
+
+
+def _sample_channel(channel, uv, dims):
+    """Bilinear fetch on a padded [W,H] channel with true dims (w, h)."""
+    w, h = dims
+    x = jnp.clip(uv[..., 0], 0, 1) * (w - 1)
+    y = jnp.clip(uv[..., 1], 0, 1) * (h - 1)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, max(w - 2, 0))
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, max(h - 2, 0))
+    fx = x - x0
+    fy = y - y0
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    return (
+        channel[x0, y0] * (1 - fx) * (1 - fy)
+        + channel[x0, y1] * (1 - fx) * fy
+        + channel[x1, y0] * fx * (1 - fy)
+        + channel[x1, y1] * fx * fy
+    )
+
+
+# ---------------------------------------------------------------------------
+# The instancer
+# ---------------------------------------------------------------------------
+
+
+class DeviceInstancer:
+    def __init__(
+        self,
+        scene: Scene,
+        max_hits: int = 64,
+        ray_block: int = 256,
+        shadow_samples: int = 32,
+        texture_lookup: str = "jacobian",
+        seed: int = 0,
+    ):
+        self.ds = DeviceScene(scene)
+        self.max_hits = max_hits
+        self.ray_block = ray_block
+        self.shadow_samples = shadow_samples
+        self.texture_lookup = texture_lookup
+        self.seed = seed
+        self._call_counter = 0
+        self._jit_cache = {}
+
+    # -- public API (instancer.pyx:34-54 semantics) ---------------------
+
+    def n_instances(self) -> int:
+        return self.ds.n_instances
+
+    def get_model_input(self, rays_o, rays_d, parameters, n_samples, step_size, key=None):
+        """rays_o/d [R,3] (d normalized), parameters [R,P] -> dict of device
+        arrays: rays_d [R,S,3], pts [R,S,3], t [R,S], dists [R,S],
+        color_last [R,1,3], alpha_last [R,1], alpha_weight [R,S],
+        instance_id [R,S], hit [R] bool, parameters [R,S,P],
+        overflow (scalar diagnostic count)."""
+        if key is None:
+            key = jax.random.fold_in(jax.random.key(self.seed), self._call_counter)
+            self._call_counter += 1
+
+        rays_o = jnp.asarray(rays_o, jnp.float32)
+        rays_d = jnp.asarray(rays_d, jnp.float32)
+        parameters = jnp.asarray(parameters, jnp.float32)
+        r = rays_o.shape[0]
+        p = parameters.shape[1]
+
+        block = min(self.ray_block, r)
+        n_pad = -(-r // block) * block
+        if n_pad > r:
+            pad = n_pad - r
+            rays_o = jnp.concatenate([rays_o, jnp.zeros((pad, 3), jnp.float32)])
+            rays_d = jnp.concatenate([rays_d, jnp.tile(jnp.asarray([[0, 0, 1.0]], jnp.float32), (pad, 1))])
+            parameters = jnp.concatenate([parameters, jnp.zeros((pad, p), jnp.float32)])
+
+        fn = self._fn(block, int(n_samples), float(step_size), p)
+        out = fn(rays_o, rays_d, parameters, key)
+        if n_pad > r:
+            out = {k: (v[:r] if k != "overflow" else v) for k, v in out.items()}
+        return out
+
+    def _fn(self, block, n_samples, step_size, n_params):
+        cache_key = (block, n_samples, step_size, n_params)
+        if cache_key not in self._jit_cache:
+
+            @jax.jit
+            def fn(rays_o, rays_d, parameters, key):
+                n_blocks = rays_o.shape[0] // block
+
+                def run_block(args):
+                    o, d, prm, idx = args
+                    block_key = jax.random.fold_in(key, idx)
+                    return self._block(o, d, prm, n_samples, step_size, block_key)
+
+                outs = jax.lax.map(
+                    run_block,
+                    (
+                        rays_o.reshape(n_blocks, block, 3),
+                        rays_d.reshape(n_blocks, block, 3),
+                        parameters.reshape(n_blocks, block, -1),
+                        jnp.arange(n_blocks),
+                    ),
+                )
+                flat = {
+                    k: v.reshape((n_blocks * block,) + v.shape[2:])
+                    for k, v in outs.items()
+                    if k != "overflow"
+                }
+                flat["overflow"] = jnp.sum(outs["overflow"])
+                return flat
+
+            self._jit_cache[cache_key] = fn
+        return self._jit_cache[cache_key]
+
+    # -- one ray block ---------------------------------------------------
+
+    def _block(self, rays_o, rays_d, parameters, S, step, key):
+        ds = self.ds
+        Rb = rays_o.shape[0]
+        K = min(self.max_hits, ds.n_instances)
+        P = parameters.shape[-1]
+
+        # 1. instance intervals -----------------------------------------
+        o_l = jnp.einsum("nij,rj->rni", ds.inv_rot, rays_o) + ds.inv_trans  # [Rb,N,3]
+        d_l = jnp.einsum("nij,rj->rni", ds.inv_rot, rays_d)
+        inv_dl = 1.0 / jnp.where(jnp.abs(d_l) < 1e-12, 1e-12, d_l)
+        t_a = (ds.b_0 - o_l) * inv_dl
+        t_b = (ds.b_1 - o_l) * inv_dl
+        t0 = jnp.max(jnp.minimum(t_a, t_b), -1)
+        t1 = jnp.min(jnp.maximum(t_a, t_b), -1)
+        box_hit = (t0 < t1) & (t1 > 0) & (t0 < T_FAR)
+        t0c = jnp.clip(t0, 0.0, T_FAR)
+        t1c = jnp.clip(t1, 0.0, T_FAR)
+
+        # 2. mesh first hit ---------------------------------------------
+        if ds.n_tris > 0:
+            t_all, u_all, v_all = _moller_trumbore(rays_o, rays_d, ds.tri_v0, ds.tri_e1, ds.tri_e2)
+            tri_best = jnp.argmin(t_all, -1)
+            t_mesh = jnp.take_along_axis(t_all, tri_best[:, None], -1)[:, 0]
+            u_best = jnp.take_along_axis(u_all, tri_best[:, None], -1)[:, 0]
+            v_best = jnp.take_along_axis(v_all, tri_best[:, None], -1)[:, 0]
+            mesh_hit = jnp.isfinite(t_mesh)
+        else:
+            t_mesh = jnp.full((Rb,), jnp.inf)
+            tri_best = jnp.zeros((Rb,), jnp.int32)
+            u_best = v_best = jnp.zeros((Rb,))
+            mesh_hit = jnp.zeros((Rb,), bool)
+
+        t1c = jnp.minimum(t1c, t_mesh[:, None])
+        valid_iv = box_hit & (t0c < t1c)
+
+        # 3. top-K nearest intervals ------------------------------------
+        overflow = jnp.sum(jnp.maximum(jnp.sum(valid_iv, -1) - K, 0))
+        score = jnp.where(valid_iv, t0c, jnp.inf)
+        neg_t0, inst_idx = jax.lax.top_k(-score, K)  # nearest first
+        tk0 = -neg_t0
+        kvalid = jnp.isfinite(tk0)
+        tk0 = jnp.where(kvalid, tk0, jnp.inf)
+        tk1 = jnp.where(kvalid, jnp.take_along_axis(t1c, inst_idx, -1), jnp.inf)
+
+        # 4. union of intervals via sorted events ------------------------
+        times = jnp.concatenate([tk0, tk1], -1)                      # [Rb,2K]
+        deltas = jnp.concatenate([kvalid, -kvalid.astype(jnp.int32)], -1).astype(jnp.int32)
+        order = jnp.argsort(times, -1)
+        times_s = jnp.take_along_axis(times, order, -1)
+        deltas_s = jnp.take_along_axis(deltas, order, -1)
+        count = jnp.cumsum(deltas_s, -1)
+        nxt = jnp.concatenate([times_s[:, 1:], times_s[:, -1:]], -1)
+        gap = jnp.where(jnp.isfinite(nxt) & jnp.isfinite(times_s), nxt - times_s, 0.0)
+        seg_len = jnp.where(count > 0, gap, 0.0)
+        cum_incl = jnp.cumsum(seg_len, -1)                           # [Rb,2K]
+        cum_excl = cum_incl - seg_len
+        total = cum_incl[:, -1]
+
+        # 5. sample placement -------------------------------------------
+        k_off, k_sel = jax.random.split(key)
+        u_off = jax.random.uniform(k_off, (Rb,))
+        necessary = jnp.floor(total / step).astype(jnp.int32)
+        overflow = overflow + jnp.sum(jnp.maximum(necessary - S, 0))
+        n_steps = jnp.minimum(necessary, S)
+        tiny = (necessary == 0) & (total > 0)
+        n_steps = jnp.where(tiny, 1, n_steps)
+        t_offset = jnp.where(tiny, u_off * total, u_off * step)
+
+        i_idx = jnp.arange(S)[None, :]
+        sample_valid = i_idx < n_steps[:, None]
+        s_arc = i_idx * step + t_offset[:, None]
+
+        dists = jnp.where(
+            i_idx == n_steps[:, None] - 1,
+            step + total[:, None] - n_steps[:, None] * step,
+            jnp.full((1, S), step),
+        )
+        dists = jnp.where(tiny[:, None], jnp.where(i_idx == 0, total[:, None], 0.0), dists)
+        dists = jnp.where(sample_valid, dists, 0.0)
+
+        j = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(cum_incl, s_arc)
+        j = jnp.clip(j, 0, 2 * K - 1)
+        t_seg = jnp.take_along_axis(times_s, j, -1)
+        c_seg = jnp.take_along_axis(cum_excl, j, -1)
+        t_mu = t_seg + (s_arc - c_seg)                               # [Rb,S]
+        t_mu = jnp.where(sample_valid, t_mu, 0.0)
+        t_pt = mean_distance(t_mu, step) if ds.use_mean_distance else t_mu
+
+        pts_w = rays_o[:, None, :] + rays_d[:, None, :] * t_pt[..., None]  # [Rb,S,3]
+
+        # 6. overlap resolution -----------------------------------------
+        active = (
+            kvalid[:, None, :]
+            & (tk0[:, None, :] <= t_pt[..., None])
+            & (t_pt[..., None] < tk1[:, None, :])
+        )  # [Rb,S,K]
+        n_active = jnp.sum(active, -1)
+        # Boundary fallback: nearest interval by distance when none matched.
+        iv_dist = jnp.maximum(tk0[:, None, :] - t_pt[..., None], t_pt[..., None] - tk1[:, None, :])
+        iv_dist = jnp.where(kvalid[:, None, :], jnp.maximum(iv_dist, 0.0), jnp.inf)
+        fallback_k = jnp.argmin(iv_dist, -1)
+        active = jnp.where(
+            (n_active == 0)[..., None],
+            jax.nn.one_hot(fallback_k, K, dtype=bool),
+            active,
+        )
+        n_active = jnp.maximum(n_active, 1)
+
+        sel_key = jax.random.fold_in(k_sel, 0)
+        u_sel = jax.random.uniform(sel_key, (Rb, S))
+        method = ds.instance_sampling_method
+
+        if method == "random":
+            target = jnp.floor(u_sel * n_active).astype(jnp.int32)
+            target = jnp.minimum(target, n_active - 1)
+            rank = jnp.cumsum(active, -1) - 1
+            pick = active & (rank == target[..., None])
+            sel_k = jnp.argmax(pick, -1)
+            weight = n_active.astype(jnp.float32)
+        else:
+            origins_k = ds.origins[inst_idx]                         # [Rb,K,3]
+            dist_k = jnp.linalg.norm(
+                pts_w[:, :, None, :] - origins_k[:, None, :, :], axis=-1
+            )  # [Rb,S,K]
+            dist_k = jnp.where(active, dist_k, jnp.inf)
+            if method == "nearest":
+                sel_k = jnp.argmin(dist_k, -1)
+                weight = jnp.ones((Rb, S), jnp.float32)
+            elif method == "nearest_blend":
+                min_d = jnp.min(dist_k, -1, keepdims=True)
+                w = jnp.maximum(ds.nearest_blend_range + min_d - dist_k, 0.0)
+                w = jnp.where(active, w, 0.0)
+                w_sum = jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-20)
+                prob = w / w_sum
+                cum = jnp.cumsum(prob, -1)
+                sel_k = jnp.sum((u_sel[..., None] > cum).astype(jnp.int32), -1)
+                sel_k = jnp.clip(sel_k, 0, K - 1)
+                p_sel = jnp.take_along_axis(prob, sel_k[..., None], -1)[..., 0]
+                weight = 1.0 / jnp.maximum(p_sel, 1e-20)
+            else:
+                raise ValueError(f"unknown instance_sampling_method {method}")
+        weight = jnp.where(n_active == 1, 1.0, weight)
+
+        inst = jnp.take_along_axis(inst_idx, sel_k, -1)              # [Rb,S]
+
+        # 7. local transforms -------------------------------------------
+        rot = ds.inv_rot[inst]                                       # [Rb,S,3,3]
+        trans = ds.inv_trans[inst]
+        pts_l = jnp.einsum("rsij,rsj->rsi", rot, pts_w) + trans
+        dinv = ds.dir_inv[inst]
+        dirs_l = jnp.einsum("rsij,rj->rsi", dinv, rays_d)
+
+        # 8. parameters: texture scaling --------------------------------
+        params_out = jnp.broadcast_to(parameters[:, None, :], (Rb, S, P))
+        uv = None
+        if ds.texture_parameter_idxs:
+            if self.texture_lookup == "jacobian" and ds.anchor_uv is not None:
+                # Linearized closest-point: uv = anchor_uv + J (p - anchor).
+                a_uv = ds.anchor_uv[inst]                            # [Rb,S,2]
+                jac = ds.uv_jacobian[inst]                           # [Rb,S,2,3]
+                rel = pts_w - ds.origins[inst]
+                uv = a_uv + jnp.einsum("rsij,rsj->rsi", jac, rel)
+                uv = jnp.clip(uv, 0.0, 1.0)
+            elif ds.tri_candidates is not None:
+                # Exact closest point over the baked candidate triangles.
+                cand = ds.tri_candidates[inst]                       # [Rb,S,Kt]
+                a = ds.tri_v0[cand]
+                e1 = ds.tri_e1[cand]
+                e2 = ds.tri_e2[cand]
+                b = a + e1
+                c = a + e2
+                bary = _closest_point_tri_jnp(pts_w[:, :, None, :], a, b, c)
+                cp = bary[..., 0:1] * a + bary[..., 1:2] * b + bary[..., 2:3] * c
+                d2 = jnp.sum((cp - pts_w[:, :, None, :]) ** 2, -1)
+                best = jnp.argmin(d2, -1)
+                tri_sel = jnp.take_along_axis(cand, best[..., None], -1)[..., 0]
+                bary_sel = jnp.take_along_axis(bary, best[..., None, None], -2)[..., 0, :]
+                uv_tri = ds.tri_uv[tri_sel]                          # [Rb,S,3,2]
+                uv = jnp.einsum("rsk,rskj->rsj", bary_sel, uv_tri)
+        if uv is not None:
+            updates = []
+            for i, slot in enumerate(ds.texture_parameter_idxs):
+                val = _sample_channel(ds.tex_channels[i], uv, ds.tex_dims[i])
+                updates.append((slot, params_out[..., slot] * val))
+            for slot, new in updates:
+                params_out = params_out.at[..., slot].set(new)
+
+        # 9. lighting ----------------------------------------------------
+        light_dir_w = None
+        if ds.light_dir_idx >= 0 and P > ds.light_dir_idx + 2:
+            li = ds.light_dir_idx
+            light_dir_w = parameters[:, li : li + 3]                  # [Rb,3]
+
+            shadowed = jnp.zeros((Rb, S), bool)
+            if self.ds.cast_shadow_rays:
+                shadowed = self._shadow_mask(
+                    rays_o, rays_d, light_dir_w, cum_incl, cum_excl, times_s, total, s_arc
+                )
+
+            if ds.light_strength_idx >= 0:
+                vec = light_dir_w[:, None, :] - pts_w
+            else:
+                vec = jnp.broadcast_to(light_dir_w[:, None, :], pts_w.shape)
+            vec_n = vec / jnp.maximum(jnp.linalg.norm(vec, axis=-1, keepdims=True), 1e-12)
+            local_l = jnp.einsum("rsij,rsj->rsi", dinv, vec_n)
+            down = jnp.broadcast_to(jnp.asarray([0, 0, -1.0], jnp.float32), local_l.shape)
+            local_l = jnp.where(shadowed[..., None], down, local_l)
+            params_out = jax.lax.dynamic_update_slice_in_dim(
+                params_out, local_l, li, axis=2
+            )
+
+            if ds.light_strength_idx >= 0:
+                eps = 1e-6
+                d2l = jnp.sum((light_dir_w[:, None, :] - pts_w) ** 2, -1)
+                strength = parameters[:, ds.light_strength_idx][:, None] / (4 * jnp.pi * d2l + eps)
+                params_out = params_out.at[..., ds.light_strength_idx].set(strength)
+
+        # 10. terminator -------------------------------------------------
+        color_last = jnp.zeros((Rb, 1, 3), jnp.float32)
+        alpha_last = mesh_hit[:, None].astype(jnp.float32)
+        if ds.n_tris > 0 and len(ds.meshes) > 1:
+            color_last = self._shade_terminator(
+                rays_o, rays_d, t_mesh, tri_best, u_best, v_best, mesh_hit, light_dir_w
+            )[:, None, :]
+
+        # 11. outputs ----------------------------------------------------
+        world_dirs = jnp.broadcast_to(rays_d[:, None, :], (Rb, S, 3))
+        emit = sample_valid[..., None]
+        hit = jnp.any(box_hit & (t1 > 0), -1) | mesh_hit
+
+        return {
+            "rays_d": jnp.where(emit, dirs_l, world_dirs),
+            "pts": jnp.where(emit, pts_l, 0.0),
+            "t": t_mu,
+            "dists": dists,
+            "color_last": color_last,
+            "alpha_last": alpha_last,
+            "alpha_weight": jnp.where(sample_valid, weight, 1.0),
+            "instance_id": jnp.where(sample_valid, inst, 0).astype(jnp.int32),
+            "hit": hit,
+            "parameters": jnp.where(emit, params_out, jnp.broadcast_to(parameters[:, None, :], (Rb, S, P))),
+            "overflow": overflow,
+        }
+
+    # -- shadows ---------------------------------------------------------
+
+    def _shadow_query(self, pts, light_dir):
+        """Batched occlusion query (instancer.cpp:593-602 + filter :544-554).
+        pts [..., 3], light_dir [..., 3] -> blocked [...]."""
+        ds = self.ds
+        o_l = jnp.einsum("nij,...j->...ni", ds.inv_rot, pts) + ds.inv_trans
+        d_l = jnp.einsum("nij,...j->...ni", ds.inv_rot, light_dir)
+
+        dz = d_l[..., 2]
+        safe_dz = jnp.where(jnp.abs(dz) < 1e-12, 1e-12, dz)
+
+        def face_block(z_plane, is_top):
+            t = (z_plane - o_l[..., 2]) / safe_dz
+            p = o_l[..., :2] + t[..., None] * d_l[..., :2]
+            inside = (
+                (p[..., 0] >= ds.b_0[0]) & (p[..., 0] <= ds.b_1[0])
+                & (p[..., 1] >= ds.b_0[1]) & (p[..., 1] <= ds.b_1[1])
+            )
+            ok = (t > 0) & (t < T_FAR) & inside & (jnp.abs(dz) > 1e-12)
+            if is_top:
+                ok = ok & (dz < 0)
+            return ok
+
+        blocked = jnp.any(face_block(ds.b_1[2], True) | face_block(ds.b_0[2], False), -1)
+
+        if ds.n_tris > 0:
+            t_hit, _, _ = _moller_trumbore(pts, light_dir, ds.tri_v0, ds.tri_e1, ds.tri_e2)
+            ng = jnp.cross(ds.tri_e1, ds.tri_e2)
+            front = jnp.sum(light_dir[..., None, :] * ng, -1) < 0
+            blocked = blocked | jnp.any(jnp.isfinite(t_hit) & front, -1)
+
+        return blocked
+
+    def _shadow_mask(self, rays_o, rays_d, light_dir, cum_incl, cum_excl, times_s, total, s_arc):
+        """Sparse shadow samples along the inside-arc + nearest-neighbor
+        assignment to the actual samples (instancer.cpp:929-951's sparse
+        path, uniform over the union instead of per-segment)."""
+        Rb = rays_o.shape[0]
+        Ssh = self.shadow_samples
+        frac = (jnp.arange(Ssh) + 0.5) / Ssh
+        s_sh = frac[None, :] * total[:, None]                        # [Rb,Ssh]
+        j = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(cum_incl, s_sh)
+        j = jnp.clip(j, 0, times_s.shape[-1] - 1)
+        t_sh = jnp.take_along_axis(times_s, j, -1) + (
+            s_sh - jnp.take_along_axis(cum_excl, j, -1)
+        )
+        pts_sh = rays_o[:, None, :] + rays_d[:, None, :] * t_sh[..., None]
+        blocked = self._shadow_query(pts_sh, light_dir[:, None, :])  # [Rb,Ssh]
+
+        # Nearest shadow sample for each actual sample (by arc position).
+        idx = jnp.clip(
+            jnp.floor(s_arc / jnp.maximum(total[:, None], 1e-12) * Ssh).astype(jnp.int32),
+            0,
+            Ssh - 1,
+        )
+        return jnp.take_along_axis(blocked, idx, -1)
+
+    # -- terminator shading ----------------------------------------------
+
+    def _shade_terminator(self, rays_o, rays_d, t_mesh, tri, u, v, mesh_hit, light_dir):
+        """shadeMesh for aux meshes; base mesh renders black
+        (instancer.cpp:716-743, 1018-1029)."""
+        ds = self.ds
+        bary = jnp.stack([1 - u - v, u, v], -1)                      # [Rb,3]
+        n = jnp.einsum("rk,rkj->rj", bary, ds.tri_n[tri])
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        uv = jnp.einsum("rk,rkj->rj", bary, ds.tri_uv[tri])
+        mid = ds.tri_mesh_id[tri]
+
+        if ds.mesh_tex is not None:
+            texs = ds.mesh_tex[mid]                                  # [Rb,W,H,3]
+            w, h = ds.mesh_tex.shape[1], ds.mesh_tex.shape[2]
+            x = jnp.clip(uv[:, 0], 0, 1) * (w - 1)
+            y = jnp.clip(uv[:, 1], 0, 1) * (h - 1)
+            x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, w - 2) if w > 1 else jnp.zeros_like(x, jnp.int32)
+            y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, h - 2) if h > 1 else jnp.zeros_like(y, jnp.int32)
+            fx = (x - x0)[:, None]
+            fy = (y - y0)[:, None]
+            r_idx = jnp.arange(texs.shape[0])
+            g = lambda xi, yi: texs[r_idx, xi, yi]
+            albedo = (
+                g(x0, y0) * (1 - fx) * (1 - fy)
+                + g(x0, jnp.minimum(y0 + 1, h - 1)) * (1 - fx) * fy
+                + g(jnp.minimum(x0 + 1, w - 1), y0) * fx * (1 - fy)
+                + g(jnp.minimum(x0 + 1, w - 1), jnp.minimum(y0 + 1, h - 1)) * fx * fy
+            )
+            albedo = jnp.where(albedo < 0, 0.8, albedo)              # -1 padding = untextured gray
+        else:
+            albedo = jnp.full((rays_o.shape[0], 3), 0.8)
+
+        hit_pt = rays_o + jnp.where(mesh_hit, t_mesh, 0.0)[:, None] * rays_d
+        diffuse = jnp.zeros(rays_o.shape[0])
+        if light_dir is not None:
+            ld = light_dir / jnp.maximum(jnp.linalg.norm(light_dir, axis=-1, keepdims=True), 1e-12)
+            diffuse = jnp.maximum(jnp.sum(n * ld, -1), 0.0)
+            if ds.cast_shadow_rays:
+                blocked = self._shadow_query(hit_pt + n * 1e-6, light_dir)
+                diffuse = jnp.where(blocked, 0.0, diffuse)
+
+        shade = jnp.minimum(diffuse + 0.2, 1.0)[:, None] * albedo
+        is_aux = mid > 0
+        color = jnp.where(is_aux[:, None], shade, 0.0)
+        return jnp.where(mesh_hit[:, None], color, 0.0)

@@ -1,0 +1,259 @@
+"""Instanced-patch renderers: device instancer -> conditioned MLP -> composite.
+
+Re-designs of reference network/renderer.py:215-354 (InstanceRenderer) and
+renderer.py:475-587 (MipInstanceRenderer).  The reference round-trips every
+chunk through host numpy + Embree (renderer.py:253, instancer.pyx:38-54) and
+compacts with gather/scatter; here the whole chunk — instancer sampling, MLP
+evaluation and compositing — is one jit-compiled device program:
+
+  - ray culling becomes masking (fixed shapes);
+  - sample culling uses the structure of the instancer's output: valid
+    samples are a per-ray *prefix* (dists > 0 for i < n_steps), so
+    sample-major (transposed) fixed-budget compaction keeps the MLP batch
+    dense while dropping only the deepest samples when over budget — the
+    analogue of the reference's dynamic tf.where cull (renderer.py:284-287);
+  - the terminator sample, density reweighting, patch_scale normalization
+    and false-color debug path match the reference formulas exactly
+    (renderer.py:300, 310, 318-354).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerftex_tpu.ops import volume
+from nerftex_tpu.utils import util, rng
+from nerftex_tpu.utils.util import EasyDict
+from nerftex_tpu.render.renderer import Renderer, chunked_apply
+
+
+class InstanceRenderer(Renderer):
+    """Eval-only renderer marching rays through instanced patch volumes.
+
+    Defaults frozen to the reference (renderer.py:219)."""
+
+    def __init__(
+        self,
+        instancer_config: EasyDict = None,
+        step_size: float = 0.002,
+        density_scale: float = 1,
+        density_reweighting: bool = True,
+        false_color: bool = False,
+        sample_budget_per_ray: int = 0,
+        **kwargs,
+    ) -> None:
+        super().__init__(**kwargs)
+        if isinstance(instancer_config, dict):
+            self.instancer = util.instantiate(instancer_config)
+            self.patch_scale = instancer_config["patch_scale"]
+        else:
+            # Pre-built Instancer object (tests / embedding use).
+            self.instancer = instancer_config
+            self.patch_scale = float(self.instancer.scene.patch_scale)
+        self.step_size = step_size
+        self.density_scale = density_scale
+        self.density_reweighting = density_reweighting
+        self.false_color = false_color
+        # 0 = no compaction (dense masked eval). >0 caps the average number
+        # of MLP samples per ray in a chunk.
+        self.sample_budget_per_ray = sample_budget_per_ray
+        if false_color:
+            self.instance_color = jax.random.uniform(
+                rng.stream_key(rng.STREAM_FALSE_COLOR), (self.instancer.n_instances(), 3)
+            )
+
+    # ------------------------------------------------------------------
+
+    def render_rays(
+        self,
+        params,
+        rays_o,
+        rays_d,
+        t,
+        parameters,
+        cone_scale,
+        key,
+        composite_bkgd,
+        bkgd_color,
+        training,
+    ) -> dict:
+        assert training is False, (
+            "network.renderer.InstanceRenderer can only be used for evaluation."
+        )
+        k_inst, k_noise = jax.random.split(key)
+
+        inst = self.instancer.get_model_input_dict(
+            rays_o, rays_d, parameters, self.n_samples, self.step_size, key=k_inst
+        )
+
+        color_map, alpha_map = self._shade(
+            params, inst, rays_o, rays_d, parameters, cone_scale, k_noise, composite_bkgd, bkgd_color
+        )
+
+        # Rays culled by the proxy (t = inf) contribute nothing
+        # (renderer.py:58-67); instancer misses already have zero weights.
+        miss = jnp.isinf(t[:, 0]) | ~inst["hit"]
+        valid = (~miss).astype(jnp.float32)
+        color_map = color_map * valid[:, None]
+        alpha_map = alpha_map * valid
+        if composite_bkgd:
+            color_map = color_map + (1.0 - alpha_map)[:, None] * jnp.asarray(
+                bkgd_color, jnp.float32
+            )
+
+        return {"color_pred": color_map, "alpha_pred": alpha_map}
+
+    # -- core shading ----------------------------------------------------
+
+    def _model_inputs(self, inst, rays_d, parameters, cone_scale):
+        """Per-sample MLP inputs from the instancer output; blur scaling
+        (renderer.py:260-263)."""
+        params_map = inst["parameters"]
+        if self.blur_idx is not None:
+            blur_scale = cone_scale[..., None, :] * inst["t"][..., :, None] / self.patch_scale
+            b = self.blur_idx
+            params_map = jnp.concatenate(
+                [
+                    params_map[..., :b],
+                    params_map[..., b, None] * blur_scale,
+                    params_map[..., b + 1 :],
+                ],
+                axis=-1,
+            )
+        return inst["pts"], inst["rays_d"], params_map
+
+    def _eval_mlp(self, params, model, pos, dirs, prms, mask):
+        """Masked fixed-shape MLP evaluation with optional sample-major
+        compaction.  pos [R,S,D], mask [R,S] -> (color [R,S,3], density [R,S])."""
+        r, s = mask.shape
+        budget = self.sample_budget_per_ray * r
+        pos_f = pos.reshape(r * s, -1)
+        dirs_f = dirs.reshape(r * s, -1)
+        prms_f = prms.reshape(r * s, -1)
+        mask_f = mask.reshape(r * s)
+
+        if budget <= 0 or budget >= r * s:
+            color, density = chunked_apply(
+                model.apply, params, (pos_f, dirs_f, prms_f), self.net_chunk
+            )
+            return (
+                color.reshape(r, s, 3) * mask[..., None],
+                density.reshape(r, s) * mask,
+            )
+
+        # Sample-major order: index (i, ray) -> flat s-major so truncation
+        # drops the deepest samples across all rays uniformly.
+        order = (jnp.arange(r * s).reshape(r, s).T.reshape(-1))
+        mask_sm = mask_f[order]
+        idx_sm = jnp.nonzero(mask_sm, size=budget, fill_value=0)[0]
+        taken = jnp.arange(budget) < jnp.sum(mask_sm)
+        flat_idx = order[idx_sm]
+
+        color_c, density_c = chunked_apply(
+            model.apply,
+            params,
+            (pos_f[flat_idx], dirs_f[flat_idx], prms_f[flat_idx]),
+            self.net_chunk,
+        )
+        # Scatter-add (not set): padded slots all alias index 0 with zeroed
+        # values, which must not clobber the real sample living there.
+        color = jnp.zeros((r * s, 3)).at[flat_idx].add(color_c * taken[:, None])
+        density = jnp.zeros((r * s,)).at[flat_idx].add(density_c[:, 0] * taken)
+        return color.reshape(r, s, 3) * mask[..., None], density.reshape(r, s) * mask
+
+    def _shade(
+        self, params, inst, rays_o, rays_d, parameters, cone_scale, k_noise, composite_bkgd, bkgd_color
+    ):
+        pos, dirs, prms = self._model_inputs(inst, rays_d, parameters, cone_scale)
+        mask = inst["dists"] > 0
+
+        color, density = self._eval_mlp(
+            params["model"], self.model, pos, dirs, prms, mask
+        )
+        density = density * (
+            inst["alpha_weight"] if self.density_reweighting else 1.0
+        ) * self.density_scale
+
+        false_color = None
+        if self.false_color:
+            false_color = self.instance_color[inst["instance_id"]]
+
+        color_map, alpha_map = volume.composite_precomputed_alpha(
+            color,
+            density,
+            inst["dists"],
+            inst["color_last"],
+            inst["alpha_last"],
+            self.patch_scale,
+            composite_bkgd=False,
+            bkgd_color=bkgd_color,
+            raw_noise_std=self.raw_noise_std,
+            noise_key=k_noise,
+            map_exr=self.map_exr,
+            false_color=false_color,
+        )
+        return color_map, alpha_map
+
+
+class MipInstanceRenderer(InstanceRenderer):
+    """IPE variant: per-sample cone Gaussians in patch-local coordinates
+    (renderer.py:475-587)."""
+
+    def __init__(self, blur_idx: int = None, **kwargs):
+        super().__init__(**kwargs)
+        # Hidden from the base class's per-sample blur handling
+        # (renderer.py:478-482).
+        self.blur_idx_mip = blur_idx
+
+    def _model_inputs(self, inst, rays_d, parameters, cone_scale):
+        raise NotImplementedError  # unused; _shade overridden below
+
+    def _shade(
+        self, params, inst, rays_o, rays_d, parameters, cone_scale, k_noise, composite_bkgd, bkgd_color
+    ):
+        b = self.blur_idx_mip
+        params_map = inst["parameters"]
+
+        # Splice the blur parameter out as the cone radius
+        # (renderer.py:510-512).
+        radii = params_map[..., b] * cone_scale[..., None, 0] / self.patch_scale
+        params_map = jnp.concatenate(
+            [params_map[..., :b], params_map[..., b + 1 :]], axis=-1
+        )
+
+        dirs_l = inst["rays_d"]
+        r, s = inst["t"].shape
+        cov = volume.cone_sample_cov(
+            dirs_l.reshape(r * s, 3),
+            inst["t"].reshape(r * s),
+            radii.reshape(r * s),
+            inst["dists"].reshape(r * s),
+        ).reshape(r, s, 3)
+        pos = jnp.concatenate([inst["pts"], cov], axis=-1)
+
+        mask = inst["dists"] > 0
+        color, density = self._eval_mlp(
+            params["model"], self.model, pos, dirs_l, params_map, mask
+        )
+        density = density * (
+            inst["alpha_weight"] if self.density_reweighting else 1.0
+        ) * self.density_scale
+
+        false_color = None
+        if self.false_color:
+            false_color = self.instance_color[inst["instance_id"]]
+
+        return volume.composite_precomputed_alpha(
+            color,
+            density,
+            inst["dists"],
+            inst["color_last"],
+            inst["alpha_last"],
+            self.patch_scale,
+            composite_bkgd=False,
+            bkgd_color=bkgd_color,
+            raw_noise_std=self.raw_noise_std,
+            noise_key=k_noise,
+            map_exr=self.map_exr,
+            false_color=false_color,
+        )

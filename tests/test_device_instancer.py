@@ -1,0 +1,283 @@
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from nerftex_tpu.instancing.scene import Scene
+from nerftex_tpu.instancing.device import DeviceInstancer
+from nerftex_tpu.instancing import oracle
+from nerftex_tpu.tools import gen_assets
+
+
+@pytest.fixture(scope="module")
+def assets(tmp_path_factory):
+    out = tmp_path_factory.mktemp("meshes")
+    gen_assets.generate(str(out), seed=0)
+    return str(out)
+
+
+def _simple_scene(**kwargs):
+    scene = Scene(b_0=[-0.5, -0.5, -0.5], b_1=[0.5, 0.5, 0.5], **kwargs)
+    return scene
+
+
+def _down_rays(n=4, z=5.0, spread=0.3, seed=0):
+    rs = np.random.RandomState(seed)
+    rays_o = np.concatenate(
+        [rs.uniform(-spread, spread, (n, 2)), np.full((n, 1), z)], -1
+    ).astype(np.float32)
+    rays_d = np.tile(np.array([0, 0, -1.0], np.float32), (n, 1))
+    return rays_o, rays_d
+
+
+def _compare(scene, rays_o, rays_d, params, n_samples, step, atol=1e-4):
+    """Device vs oracle on the RNG-independent outputs."""
+    dev = DeviceInstancer(scene, max_hits=8, ray_block=4)
+    out_d = {k: np.asarray(v) for k, v in dev.get_model_input(
+        rays_o, rays_d, params, n_samples, step).items()}
+    out_o = oracle.get_model_input(scene, rays_o, rays_d, params, n_samples, step)
+
+    np.testing.assert_array_equal(out_d["hit"], out_o["hit"])
+    # dists layout is offset-independent.
+    np.testing.assert_allclose(out_d["dists"], out_o["dists"], atol=atol)
+    np.testing.assert_allclose(out_d["alpha_last"], out_o["alpha_last"], atol=atol)
+    np.testing.assert_allclose(out_d["color_last"], out_o["color_last"], atol=atol)
+    # t grids differ only by the random offset (same spacing & segment
+    # structure): compare the arc-structure by re-basing to the first sample.
+    for r in range(rays_o.shape[0]):
+        nd = int((out_d["dists"][r] > 0).sum())
+        no = int((out_o["dists"][r] > 0).sum())
+        assert nd == no
+        if nd > 1:
+            np.testing.assert_allclose(
+                np.diff(out_d["t"][r, :nd]) , np.diff(out_o["t"][r, :no]), atol=atol
+            )
+    return out_d, out_o
+
+
+def test_device_matches_oracle_single_box():
+    scene = _simple_scene()
+    scene.add_instance(np.eye(4, dtype=np.float32))
+    rays_o, rays_d = _down_rays(4)
+    _compare(scene, rays_o, rays_d, np.zeros((4, 0), np.float32), 64, 0.05)
+
+
+def test_device_matches_oracle_disjoint_boxes():
+    scene = _simple_scene()
+    for dz in (0.0, 2.0, 3.5):
+        m = np.eye(4, dtype=np.float32)
+        m[2, 3] = dz
+        scene.add_instance(m)
+    rays_o, rays_d = _down_rays(6)
+    out_d, out_o = _compare(scene, rays_o, rays_d, np.zeros((6, 0), np.float32), 128, 0.05)
+    # Instance assignment is deterministic here (no overlaps): must agree.
+    for r in range(6):
+        n = int((out_d["dists"][r] > 0).sum())
+        # Same multiset of instance ids in the same order up to offset shift.
+        ids_d = out_d["instance_id"][r, :n]
+        ids_o = out_o["instance_id"][r, :n]
+        assert abs((ids_d == 2).sum() - (ids_o == 2).sum()) <= 1
+        assert abs((ids_d == 0).sum() - (ids_o == 0).sum()) <= 1
+
+
+def test_device_matches_oracle_rotated_instances():
+    scene = _simple_scene()
+    rs = np.random.RandomState(5)
+    for i in range(5):
+        # Random rotation + translation, scaled.
+        q = rs.randn(3, 3)
+        u, _, vt = np.linalg.svd(q)
+        rot = (u @ vt) * 0.4
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = rot
+        m[:3, 3] = rs.uniform(-1, 1, 3)
+        scene.add_instance(m)
+    rays_o, rays_d = _down_rays(8, spread=0.8, seed=2)
+    out_d, out_o = _compare(scene, rays_o, rays_d, np.zeros((8, 0), np.float32), 96, 0.03)
+
+    # Local points must lie inside the unit patch box.
+    for r in range(8):
+        n = int((out_d["dists"][r] > 0).sum())
+        pts = out_d["pts"][r, :n]
+        assert np.all(pts >= scene.b_0 - 1e-3) and np.all(pts <= scene.b_1 + 1e-3)
+
+
+def test_device_overlap_weights_random():
+    scene = _simple_scene(instance_sampling_method="random")
+    scene.add_instance(np.eye(4, dtype=np.float32))
+    scene.add_instance(np.eye(4, dtype=np.float32))
+    rays_o, rays_d = _down_rays(4)
+    dev = DeviceInstancer(scene, max_hits=4, ray_block=4)
+    out = {k: np.asarray(v) for k, v in dev.get_model_input(
+        rays_o, rays_d, np.zeros((4, 0), np.float32), 32, 0.1).items()}
+    for r in range(4):
+        n = int((out["dists"][r] > 0).sum())
+        np.testing.assert_allclose(out["alpha_weight"][r, :n], 2.0)
+        assert set(np.unique(out["instance_id"][r, :n])) <= {0, 1}
+    # Random selection actually mixes instances across samples.
+    all_ids = out["instance_id"][out["dists"] > 0]
+    assert len(np.unique(all_ids)) == 2
+
+
+def test_device_nearest_blend_weights():
+    scene = _simple_scene(instance_sampling_method="nearest_blend")
+    m2 = np.eye(4, dtype=np.float32)
+    m2[0, 3] = 0.3  # overlapping, different origins
+    scene.add_instance(np.eye(4, dtype=np.float32))
+    scene.add_instance(m2)
+    rays_o = np.array([[0.15, 0, 5.0]], np.float32)
+    rays_d = np.array([[0, 0, -1.0]], np.float32)
+    dev = DeviceInstancer(scene, max_hits=4, ray_block=1)
+    out = {k: np.asarray(v) for k, v in dev.get_model_input(
+        rays_o, rays_d, np.zeros((1, 0), np.float32), 32, 0.05).items()}
+    n = int((out["dists"][0] > 0).sum())
+    w = out["alpha_weight"][0, :n]
+    assert np.all(w >= 1.0 - 1e-5)  # 1/p >= 1
+
+
+def test_device_mesh_terminator(assets):
+    from nerftex_tpu.instancing.scene import SceneMesh
+
+    scene = _simple_scene()
+    scene.add_instance(np.eye(4, dtype=np.float32))
+    V = np.array([[-5, -5, -2], [5, -5, -2], [5, 5, -2], [-5, 5, -2]], np.float32)
+    F = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    scene.base_mesh = SceneMesh(V, F)
+    rays_o, rays_d = _down_rays(4)
+    out_d, out_o = _compare(scene, rays_o, rays_d, np.zeros((4, 0), np.float32), 64, 0.05)
+    assert np.all(out_d["alpha_last"] == 1.0)
+
+
+def test_device_shadowing_matches_oracle():
+    scene = _simple_scene(cast_shadow_rays=True, textures=["light"])
+    scene.add_instance(np.eye(4, dtype=np.float32))
+    blocker = np.eye(4, dtype=np.float32)
+    blocker[2, 3] = 3.0
+    scene.add_instance(blocker)
+
+    rays_o = np.array([[5.0, 0, 0], [5.0, 2.0, 0]], np.float32)  # 2nd misses blocker in y
+    rays_d = np.tile(np.array([-1.0, 0, 0], np.float32), (2, 1))
+    params = np.tile(np.array([0, 0, 1.0], np.float32), (2, 1))
+
+    dev = DeviceInstancer(scene, max_hits=4, ray_block=2)
+    out = {k: np.asarray(v) for k, v in dev.get_model_input(rays_o, rays_d, params, 32, 0.1).items()}
+    n0 = int((out["dists"][0] > 0).sum())
+    np.testing.assert_allclose(
+        out["parameters"][0, :n0, :3], np.tile([0, 0, -1.0], (n0, 1)), atol=1e-5
+    )
+    # Ray 2 passes beside both boxes -> no samples, ok either way.
+
+
+def test_device_point_light_strength():
+    scene = _simple_scene(textures=["point"])
+    scene.add_instance(np.eye(4, dtype=np.float32))
+    rays_o, rays_d = _down_rays(1, spread=0.0)
+    # params: [strength, light_pos x3]
+    params = np.array([[10.0, 0, 0, 3.0]], np.float32)
+    dev = DeviceInstancer(scene, max_hits=4, ray_block=1)
+    out = {k: np.asarray(v) for k, v in dev.get_model_input(rays_o, rays_d, params, 32, 0.1).items()}
+    n = int((out["dists"][0] > 0).sum())
+    # Falloff strength = 10 / (4 pi d^2); sample z in [-0.5, 0.5], light at z=3.
+    t = out["t"][0, :n]
+    z = 5.0 - t
+    expected = 10.0 / (4 * np.pi * (3.0 - z) ** 2 + 1e-6)
+    np.testing.assert_allclose(out["parameters"][0, :n, 0], expected, rtol=1e-4)
+    # Light direction slots point from sample toward the light (normalized, local=world identity frame).
+    vec = np.stack([np.zeros_like(z), np.zeros_like(z), 3.0 - z], -1)
+    vec /= np.linalg.norm(vec, axis=-1, keepdims=True)
+    np.testing.assert_allclose(out["parameters"][0, :n, 1:4], vec, atol=1e-5)
+
+
+def test_device_texture_parameters(assets):
+    scene = Scene(
+        b_0=[-1.4, -1.2, -0.1],
+        b_1=[1.2, 1.2, 1.8],
+        textures=[os.path.join(assets, "smooth_checkerboard.png"), "", "", "", "light"],
+        instance_sampling_method="nearest",
+        seed=0,
+    )
+    scene.distribute_instances_on_mesh(
+        os.path.join(assets, "cloth_mesh.ply"), 0.09,
+        os.path.join(assets, "cloth_anchor_points.ply"),
+    )
+    rs = np.random.RandomState(0)
+    n_rays = 8
+    rays_o = np.concatenate([rs.uniform(-0.5, 0.5, (n_rays, 2)), np.full((n_rays, 1), 4.0)], -1).astype(np.float32)
+    rays_d = np.tile(np.array([0, 0, -1.0], np.float32), (n_rays, 1))
+    params = np.tile(np.array([1.0, 1, 1, 0.1, 0, 0, -1.0], np.float32), (n_rays, 1))
+
+    dev = DeviceInstancer(scene, max_hits=32, ray_block=8)
+    out = {k: np.asarray(v) for k, v in dev.get_model_input(rays_o, rays_d, params, 128, 0.02).items()}
+    assert out["hit"].any()
+    got_samples = False
+    for r in range(n_rays):
+        n = int((out["dists"][r] > 0).sum())
+        if n == 0:
+            continue
+        got_samples = True
+        tex_vals = out["parameters"][r, :n, 0]
+        # Texture-scaled slot 0 stays in the smooth checkerboard's range.
+        assert np.all(tex_vals >= 0.0) and np.all(tex_vals <= 1.0)
+        # Spatial variation across the scene (not all identical).
+    assert got_samples
+
+    # Compare a handful of samples against the oracle's exact closest-point
+    # lookup (candidate-triangle approximation should be tight on the cloth).
+    r = int(np.argmax([(out["dists"][i] > 0).sum() for i in range(n_rays)]))
+    n = int((out["dists"][r] > 0).sum())
+    errs = []
+    for i in range(0, n, max(1, n // 8)):
+        t = out["t"][r, i]
+        pt = rays_o[r] + t * rays_d[r]
+        exact = scene.get_parameters(pt, params[r])
+        errs.append(abs(float(out["parameters"][r, i, 0]) - float(exact[0])))
+    # Jacobian-linearized UV vs exact closest point: tight on the smooth
+    # checkerboard, bounded by local curvature.
+    assert np.mean(errs) < 0.06, errs
+    assert np.max(errs) < 0.25, errs
+
+
+def test_device_cloth_scene_smoke(assets):
+    """Full cloth scene: 64 rays from the config camera; sane outputs."""
+    from nerftex_tpu.instancing.instancer import Instancer
+    from nerftex_tpu.data.dataset import look_at_np
+    from nerftex_tpu.data.ray_sampler import rays_from_camera_np
+
+    inst = Instancer(
+        b_0=[-1.4, -1.2, -0.1],
+        b_1=[1.2, 1.2, 1.8],
+        cast_shadow_rays=False,
+        textures=[os.path.join(assets, "smooth_checkerboard.png"), "", "", "", "light"],
+        mesh_path=os.path.join(assets, "cloth_mesh.ply"),
+        patch_origins_path=os.path.join(assets, "cloth_anchor_points.ply"),
+        patch_scale=0.09,
+        jitter_amount=1.0,
+        instance_sampling_method="nearest",
+        max_hits=32,
+        ray_block=64,
+    )
+    assert inst.n_instances() == 900
+
+    h = w = 8
+    focal = w / np.tan(0.55 / 2) / 2
+    c2w = look_at_np(np.array([0.47, -0.65, 0.6]) * 6.0)
+    idx = np.arange(h * w)
+    loc = np.stack([idx // w, idx % w], -1).astype(np.float32)
+    rays_o, rays_d, _ = rays_from_camera_np(loc, h, w, focal, c2w)
+    rays_d = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    params = np.tile(np.array([1, 1, 1, 0.1, 0, 0, 1.0], np.float32), (h * w, 1))
+
+    outs = inst.get_model_input(rays_o, rays_d, params, 256, 0.002)
+    rays_d_m, pts, t, dists, color_last, alpha_last, alpha_weight, instance_id, hit_idxs, params_m = outs
+    pts = np.asarray(pts)
+    dists = np.asarray(dists)
+    assert len(np.asarray(hit_idxs)) > 0
+    valid = dists > 0
+    assert valid.any()
+    # Local points inside the patch box.
+    inside = (pts[valid] >= inst.scene.b_0 - 1e-3) & (pts[valid] <= inst.scene.b_1 + 1e-3)
+    assert inside.all()
+    # Local dirs unit-norm.
+    d = np.asarray(rays_d_m)[valid]
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-4)
