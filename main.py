@@ -11,9 +11,17 @@ import shutil
 
 from nerftex_tpu.utils import util, rng
 from nerftex_tpu.utils.util import EasyDict
+from nerftex_tpu.utils.cache import enable_compilation_cache, maybe_enable_debug_checks
 
 
 def main() -> None:
+    enable_compilation_cache()
+    maybe_enable_debug_checks()
+
+    import sys
+
+    if os.getcwd() not in sys.path:
+        sys.path.insert(0, os.getcwd())
     parser = argparse.ArgumentParser(description="Run the pipeline described by a config file.")
     parser.add_argument("config", help="Path to config file.")
     args = parser.parse_args()

@@ -125,6 +125,32 @@ def closest_point_on_mesh(p, mesh: SceneMesh):
     return tri, bary[tri], float(d[tri])
 
 
+def closest_points_on_mesh(points, mesh: SceneMesh):
+    """Batched closest-point queries -> (tri [N], bary [N,3], dist [N]).
+    Uses the native C++ kernel (native/scene_compiler.cpp) when built,
+    else the numpy path."""
+    points = np.ascontiguousarray(points, np.float32)
+    a = mesh.V[mesh.F[:, 0]]
+    b = mesh.V[mesh.F[:, 1]]
+    c = mesh.V[mesh.F[:, 2]]
+
+    try:
+        from nerftex_tpu.instancing import native
+
+        result = native.closest_points(points, a, b, c)
+    except Exception:
+        result = None
+    if result is not None:
+        return result
+
+    tris = np.empty(len(points), np.int32)
+    barys = np.empty((len(points), 3), np.float32)
+    dists = np.empty(len(points), np.float32)
+    for i, p in enumerate(points):
+        tris[i], barys[i], dists[i] = closest_point_on_mesh(p, mesh)
+    return tris, barys, dists
+
+
 def _rotate_about_axis(v, axis, angle):
     """Rodrigues rotation (matches instancer.cpp:330-333's expansion)."""
     return (
@@ -241,8 +267,8 @@ class Scene:
                 anchors = None
 
         if anchors is not None:
-            for p in anchors:
-                tri, bary, _ = closest_point_on_mesh(p, mesh)
+            tris, barys, _ = closest_points_on_mesh(anchors, mesh)
+            for p, tri, bary in zip(anchors, tris, barys):
                 f = mesh.F[tri]
                 n = _normalize(bary @ N[f])
                 t = _normalize(bary @ T[f])
@@ -328,8 +354,8 @@ class Scene:
         n = len(origins)
         self.anchor_uv = np.zeros((n, 2), np.float32)
         self.uv_jacobian = np.zeros((n, 2, 3), np.float32)
-        for i, p in enumerate(origins):
-            tri, bary, _ = closest_point_on_mesh(p, mesh)
+        tris, barys, _ = closest_points_on_mesh(origins, mesh)
+        for i, (p, tri, bary) in enumerate(zip(origins, tris, barys)):
             f = mesh.F[tri]
             self.anchor_uv[i] = bary @ mesh.UV[f]
             v0, v1, v2 = mesh.V[f]

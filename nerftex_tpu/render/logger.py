@@ -42,6 +42,8 @@ class Logger:
         keep_every_n_hours: int = 12,
         write_exr: bool = False,
         downsampling_factor: int = 1,
+        i_trace: int = 0,
+        trace_steps: int = 3,
         **kwargs,
     ) -> None:
         self.target_path = target_path
@@ -57,6 +59,13 @@ class Logger:
         self.write_exr = write_exr
         self.downsampling_factor = downsampling_factor
         self.time_print = time.perf_counter()
+        # Profiling: every i_trace steps capture a jax.profiler trace of the
+        # next trace_steps steps under <target>/profile (0 = off).  The
+        # reference has no profiler; its closest artifact is the wall-clock
+        # print every i_print steps (logger.py:68-73).
+        self.i_trace = int(i_trace)
+        self.trace_steps = int(trace_steps)
+        self._tracing_until = None
 
         # checkpoint_variables: {model_name: Model, ...} plus optionally
         # 'state': an object with mutable .opt_state/.step (train mode).
@@ -120,6 +129,17 @@ class Logger:
     def __call__(self, loss: dict) -> None:
         self.step += 1
         step = self.step
+
+        if self.i_trace > 0:
+            import jax
+
+            if self._tracing_until is None and step % self.i_trace == 0:
+                jax.profiler.start_trace(os.path.join(self.target_path, "profile"))
+                self._tracing_until = step + self.trace_steps
+            elif self._tracing_until is not None and step >= self._tracing_until:
+                jax.profiler.stop_trace()
+                self._tracing_until = None
+                print(f"Wrote profiler trace to {os.path.join(self.target_path, 'profile')}.")
 
         if step % self.i_summary == 0:
             record = {"step": step}

@@ -1,0 +1,162 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nerftex_tpu.utils.util import EasyDict
+from nerftex_tpu.utils import util, rng
+from nerftex_tpu.tools.create_dataset import render_views
+from nerftex_tpu.tools.nerf2tfr import convert
+from nerftex_tpu.tools.blur import process as blur_process
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    """A tiny analytic swatch dataset in NeRF folder layout."""
+    rng.set_seed(0)
+    out = tmp_path_factory.mktemp("ds")
+    config = EasyDict(
+        {
+            "seed": 0,
+            "resolution": 16,
+            "angle": 0.63,
+            "subsets": [
+                {
+                    "name": "train",
+                    "cam_radius": 5,
+                    "pose_dist_config": {
+                        "module": "data.distribution.Hemisphere",
+                        "sampler_config": {"module": "data.sampler.Independent", "d": 2, "n": 4},
+                    },
+                    "parameter_dist_config": {
+                        "module": "data.distribution.Concat",
+                        "distribution_config_0": {
+                            "module": "data.distribution.AABB",
+                            "sampler_config": {"module": "data.sampler.Independent", "d": 4},
+                        },
+                        "distribution_config_1": {"module": "data.distribution.Sphere"},
+                    },
+                }
+            ],
+            "collections": [
+                {
+                    "name": "Carpet",
+                    "hair_drivers": ["Length"],
+                    "material_drivers": ["Saturation", "UndercoatValue"],
+                    "light_drivers": ["Ambient", "LightDirection"],
+                }
+            ],
+            "pose_file_save_interval": 2,
+            "target_path": str(out / "carpet"),
+        }
+    )
+    render_views(config, backend="analytic")
+    return str(out / "carpet")
+
+
+def test_create_dataset_layout(dataset_dir):
+    assert os.path.isdir(os.path.join(dataset_dir, "train"))
+    imgs = sorted(os.listdir(os.path.join(dataset_dir, "train")))
+    assert len(imgs) == 4 and imgs[0].startswith("cam_")
+
+    with open(os.path.join(dataset_dir, "transforms_train.json")) as f:
+        transforms = json.load(f)
+    assert len(transforms["frames"]) == 4
+    frame = transforms["frames"][0]
+    # Driver parameters in insertion order: Length, Saturation,
+    # UndercoatValue, Ambient, LightX/Y/Z.
+    keys = list(frame["driver_parameters"].keys())
+    assert keys == ["Length", "Saturation", "UndercoatValue", "Ambient", "LightX", "LightY", "LightZ"]
+    assert np.asarray(frame["transform_matrix"]).shape == (4, 4)
+
+
+def test_create_dataset_resumable(dataset_dir, tmp_path):
+    """Re-running with a larger sampler count appends, not restarts."""
+    import shutil
+
+    target = str(tmp_path / "resume")
+    shutil.copytree(dataset_dir, target)
+    config = EasyDict(json.load(open(os.path.join(dataset_dir, "config.json"))))
+    config["target_path"] = target
+    config["subsets"][0]["pose_dist_config"]["sampler_config"]["n"] = 6
+    config["subsets"][0]["parameter_dist_config"]["distribution_config_0"]["sampler_config"]["n"] = 6
+    render_views(config, backend="analytic")
+
+    with open(os.path.join(target, "transforms_train.json")) as f:
+        transforms = json.load(f)
+    assert len(transforms["frames"]) == 6  # 4 existing + 2 appended
+
+
+def test_nerf2tfr_to_training_dataset(dataset_dir, tmp_path):
+    out_tfr = str(tmp_path / "train.tfr")
+    written = convert(dataset_dir, out_tfr, subset="train")
+    assert written == [out_tfr]
+
+    dataset = util.instantiate(
+        EasyDict(
+            {
+                "module": "network.dataset.Dataset",
+                "data_loader_config": {
+                    "module": "network.dataset.TFRecord",
+                    "tfr_path": out_tfr,
+                },
+                "pixel_sampler_config": {
+                    "module": "network.pixel_sampler.Independent",
+                    "n_samples": 8,
+                },
+                "ray_sampler_config": {"module": "network.ray_sampler.Proxy"},
+                "proxy_config": {
+                    "module": "network.proxy.AABB",
+                    "b_0": [-1.5, -1.3, -0.2],
+                    "b_1": [1.3, 1.3, 1.9],
+                },
+                "n_epochs": 1,
+                "prefetch": 0,
+            }
+        )
+    )
+    assert dataset.height == dataset.width == 16
+    assert dataset.n_parameters == 7
+    batch = next(iter(dataset))
+    assert batch["color"].shape == (1, 8, 3)
+    assert np.isfinite(batch["color"]).all()
+
+
+def test_nerf2tfr_sharding(dataset_dir, tmp_path):
+    out_tfr = str(tmp_path / "sharded.tfr")
+    written = convert(dataset_dir, out_tfr, subset="train", imgs_per_shard=3)
+    assert len(written) == 2  # 4 images in shards of 3
+    from nerftex_tpu.data import tfrecord as tfr
+
+    counts = [len(list(tfr.read_records(p))) for p in written]
+    assert counts == [3, 1]
+
+
+def test_blur_pipeline(dataset_dir, tmp_path):
+    out = str(tmp_path / "blurred")
+    blur_process(dataset_dir, out, subsets=("train",), max_sigma=2.0, p=3.0)
+
+    with open(os.path.join(out, "transforms_train.json")) as f:
+        transforms = json.load(f)
+    frame = transforms["frames"][0]
+    keys = list(frame["driver_parameters"].keys())
+    assert keys[0] == "Blur"  # prepended -> blur_idx=0 in configs
+    assert len(transforms["frames"]) == 4
+
+    # Blurred images exist and stay in range.
+    from nerftex_tpu.utils.image import read_image
+
+    imgs = sorted(os.listdir(os.path.join(out, "train")))
+    img = read_image(os.path.join(out, "train", imgs[0]))
+    assert img.shape == (16, 16, 4)
+    assert img.min() >= 0 and img.max() <= 1
+
+    # dataset_size_increase replicates frames with fresh sigmas.
+    out2 = str(tmp_path / "blurred2x")
+    blur_process(dataset_dir, out2, subsets=("train",), max_sigma=1.0, dataset_size_increase=2)
+    with open(os.path.join(out2, "transforms_train.json")) as f:
+        t2 = json.load(f)
+    assert len(t2["frames"]) == 8
+    sigmas = [f["driver_parameters"]["Blur"] for f in t2["frames"]]
+    assert len(set(np.round(sigmas, 6))) > 1
