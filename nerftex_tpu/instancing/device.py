@@ -63,6 +63,7 @@ class DeviceScene:
         self.b_0 = jnp.asarray(scene.b_0, f32)
         self.b_1 = jnp.asarray(scene.b_1, f32)
 
+
         # Triangle soup: base mesh (mesh_id 0) + aux meshes (1..).
         v0s, e1s, e2s, n_rows, uv_rows, mesh_ids = [], [], [], [], [], []
         meshes = ([scene.base_mesh] if scene.base_mesh is not None else []) + list(scene.aux_meshes)
@@ -213,16 +214,36 @@ def _closest_point_tri_jnp(p, a, b, c):
 
 
 def _moller_trumbore(o, d, v0, e1, e2, t_max=T_FAR):
-    """First-hit over a triangle chunk.  o,d [..., 3]; v0/e1/e2 [T,3].
-    Returns (t [..., T], u, v) with inf where missed."""
-    pvec = jnp.cross(d[..., None, :], e2)
-    det = jnp.sum(e1 * pvec, -1)
+    """First-hit over a triangle chunk.  o,d [R,3]; v0/e1/e2 [T,3].
+    Returns (t [R,T], u, v) with inf where missed.
+
+    TPU note: written componentwise over [R,T] planes — a [R,T,3] layout
+    puts 3 in the minor (lane) dimension and pads 42x in VMEM/HBM."""
+    ox, oy, oz = (o[:, c, None] for c in range(3))
+    dx, dy, dz = (d[:, c, None] for c in range(3))
+    e2x, e2y, e2z = (e2[None, :, c] for c in range(3))
+    e1x, e1y, e1z = (e1[None, :, c] for c in range(3))
+    v0x, v0y, v0z = (v0[None, :, c] for c in range(3))
+
+    # pvec = d x e2  (outer-product broadcast -> [R,T] per component)
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
     inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
-    tvec = o[..., None, :] - v0
-    u = jnp.sum(tvec * pvec, -1) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = jnp.sum(d[..., None, :] * qvec, -1) * inv_det
-    t = jnp.sum(e2 * qvec, -1) * inv_det
+
+    tx = ox - v0x
+    ty = oy - v0y
+    tz = oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+
+    # qvec = tvec x e1
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+
     ok = (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-6) & (t < t_max)
     return jnp.where(ok, t, jnp.inf), u, v
 
@@ -338,22 +359,194 @@ class DeviceInstancer:
             self._jit_cache[cache_key] = fn
         return self._jit_cache[cache_key]
 
-    # -- one ray block ---------------------------------------------------
+    # -- compact public API (used by the renderers) -----------------------
+
+    def get_model_input_compact(
+        self, rays_o, rays_d, parameters, n_samples, step_size, budget_per_ray, key=None
+    ):
+        """Compacted variant: per-ray quantities stay dense, but per-sample
+        work (transforms, overlap resolution, textures, lighting) runs only
+        on the ~n_steps valid samples, packed sample-major into a fixed
+        budget of budget_per_ray * R points.  This is the production path —
+        mean occupancy is a small fraction of the n_samples cap (the cap is
+        the reference's buffer size, instancer.pyx:40), so dense per-sample
+        evaluation wastes most of the chip.
+
+        Returns dict with compacted [B]-shaped sample arrays (pts, rays_d,
+        parameters, t, dists_c, alpha_weight, instance_id, taken, ray_idx,
+        i_idx) plus dense per-ray arrays (dists [R,S], color_last,
+        alpha_last, hit, overflow)."""
+        if key is None:
+            key = jax.random.fold_in(jax.random.key(self.seed), self._call_counter)
+            self._call_counter += 1
+
+        rays_o = jnp.asarray(rays_o, jnp.float32)
+        rays_d = jnp.asarray(rays_d, jnp.float32)
+        parameters = jnp.asarray(parameters, jnp.float32)
+        r = rays_o.shape[0]
+        p = parameters.shape[1]
+
+        block = min(self.ray_block, r)
+        n_pad = -(-r // block) * block
+        if n_pad > r:
+            pad = n_pad - r
+            rays_o = jnp.concatenate([rays_o, jnp.zeros((pad, 3), jnp.float32)])
+            rays_d = jnp.concatenate([rays_d, jnp.tile(jnp.asarray([[0, 0, 1.0]], jnp.float32), (pad, 1))])
+            parameters = jnp.concatenate([parameters, jnp.zeros((pad, p), jnp.float32)])
+
+        fn = self._fn_compact(block, int(n_samples), float(step_size), p, int(budget_per_ray))
+        out = fn(rays_o, rays_d, parameters, key)
+        if n_pad > r:
+            per_ray_keys = ("dists", "color_last", "alpha_last", "hit")
+            out = dict(out)
+            for k in per_ray_keys:
+                out[k] = out[k][:r]
+            # Compacted entries from padded rays have ray_idx >= r; mark them
+            # not-taken so consumers ignore them.
+            out["taken"] = out["taken"] & (out["ray_idx"] < r)
+        return out
+
+    def _fn_compact(self, block, n_samples, step_size, n_params, budget_per_ray):
+        cache_key = ("compact", block, n_samples, step_size, n_params, budget_per_ray)
+        if cache_key not in self._jit_cache:
+
+            @jax.jit
+            def fn(rays_o, rays_d, parameters, key):
+                n_blocks = rays_o.shape[0] // block
+
+                def run_block(args):
+                    o, d, prm, idx = args
+                    block_key = jax.random.fold_in(key, idx)
+                    return self._block_compact(
+                        o, d, prm, n_samples, step_size, budget_per_ray, block_key
+                    )
+
+                outs = jax.lax.map(
+                    run_block,
+                    (
+                        rays_o.reshape(n_blocks, block, 3),
+                        rays_d.reshape(n_blocks, block, 3),
+                        parameters.reshape(n_blocks, block, -1),
+                        jnp.arange(n_blocks),
+                    ),
+                )
+                flat = {}
+                for k, v in outs.items():
+                    if k == "overflow":
+                        flat[k] = jnp.sum(v)
+                    elif k == "ray_idx":
+                        # local block ray indices -> global
+                        offs = (jnp.arange(n_blocks) * block)[:, None]
+                        flat[k] = (v + offs).reshape(-1)
+                    else:
+                        flat[k] = v.reshape((v.shape[0] * v.shape[1],) + v.shape[2:])
+                return flat
+
+            self._jit_cache[cache_key] = fn
+        return self._jit_cache[cache_key]
+
+    def _block_compact(self, rays_o, rays_d, parameters, S, step, budget_per_ray, key):
+        ds = self.ds
+        Rb = rays_o.shape[0]
+        B = budget_per_ray * Rb
+        k_ray, k_sample = jax.random.split(key)
+
+        ray = self._per_ray(rays_o, rays_d, parameters, S, step, k_ray)
+
+        # Sample-major compaction: flat order index m = i * Rb + r, so
+        # truncation under overflow drops the deepest samples uniformly.
+        mask_sm = (jnp.arange(S)[:, None] < ray["n_steps"][None, :]).reshape(-1)
+        m_idx = jnp.nonzero(mask_sm, size=B, fill_value=0)[0]
+        taken = jnp.arange(B) < jnp.sum(mask_sm)
+        ray_idx = (m_idx % Rb).astype(jnp.int32)
+        i_idx = (m_idx // Rb).astype(jnp.int32)
+        overflow = ray["overflow"] + jnp.maximum(jnp.sum(mask_sm) - B, 0)
+
+
+        sample = self._per_sample(
+            ray, rays_o, rays_d, parameters, ray_idx, i_idx, step, k_sample
+        )
+
+        dists_c = ray["dists"][ray_idx, i_idx]
+
+        return {
+            "pts": sample["pts"],
+            "rays_d": sample["dirs"],
+            "parameters": sample["parameters"],
+            "t": sample["t"],
+            "dists_c": jnp.where(taken, dists_c, 0.0),
+            "alpha_weight": sample["weight"],
+            "instance_id": sample["instance_id"],
+            "taken": taken,
+            "ray_idx": ray_idx,
+            "i_idx": i_idx,
+            "dists": ray["dists"],
+            "color_last": ray["color_last"],
+            "alpha_last": ray["alpha_last"],
+            "hit": ray["hit"],
+            "overflow": overflow,
+        }
+
+    # -- one ray block (dense; test/compat path) --------------------------
 
     def _block(self, rays_o, rays_d, parameters, S, step, key):
+        ds = self.ds
+        Rb = rays_o.shape[0]
+        P = parameters.shape[-1]
+        k_ray, k_sample = jax.random.split(key)
+
+        ray = self._per_ray(rays_o, rays_d, parameters, S, step, k_ray)
+
+        ray_idx = jnp.repeat(jnp.arange(Rb, dtype=jnp.int32), S)
+        i_idx = jnp.tile(jnp.arange(S, dtype=jnp.int32), Rb)
+        sample = self._per_sample(
+            ray, rays_o, rays_d, parameters, ray_idx, i_idx, step, k_sample
+        )
+
+        sample_valid = jnp.arange(S)[None, :] < ray["n_steps"][:, None]
+        emit = sample_valid[..., None]
+        world_dirs = jnp.broadcast_to(rays_d[:, None, :], (Rb, S, 3))
+
+        def rs(x):
+            return x.reshape((Rb, S) + x.shape[1:])
+
+        return {
+            "rays_d": jnp.where(emit, rs(sample["dirs"]), world_dirs),
+            "pts": jnp.where(emit, rs(sample["pts"]), 0.0),
+            "t": jnp.where(sample_valid, rs(sample["t"]), 0.0),
+            "dists": ray["dists"],
+            "color_last": ray["color_last"],
+            "alpha_last": ray["alpha_last"],
+            "alpha_weight": jnp.where(sample_valid, rs(sample["weight"]), 1.0),
+            "instance_id": jnp.where(sample_valid, rs(sample["instance_id"]), 0).astype(jnp.int32),
+            "hit": ray["hit"],
+            "parameters": jnp.where(
+                emit, rs(sample["parameters"]), jnp.broadcast_to(parameters[:, None, :], (Rb, S, P))
+            ),
+            "overflow": ray["overflow"],
+        }
+
+    # -- per-ray stage ----------------------------------------------------
+
+    def _per_ray(self, rays_o, rays_d, parameters, S, step, key):
         ds = self.ds
         Rb = rays_o.shape[0]
         K = min(self.max_hits, ds.n_instances)
         P = parameters.shape[-1]
 
         # 1. instance intervals -----------------------------------------
-        o_l = jnp.einsum("nij,rj->rni", ds.inv_rot, rays_o) + ds.inv_trans  # [Rb,N,3]
-        d_l = jnp.einsum("nij,rj->rni", ds.inv_rot, rays_d)
-        inv_dl = 1.0 / jnp.where(jnp.abs(d_l) < 1e-12, 1e-12, d_l)
-        t_a = (ds.b_0 - o_l) * inv_dl
-        t_b = (ds.b_1 - o_l) * inv_dl
-        t0 = jnp.max(jnp.minimum(t_a, t_b), -1)
-        t1 = jnp.min(jnp.maximum(t_a, t_b), -1)
+        # Componentwise [Rb,N] planes via MXU matmuls; a [Rb,N,3] layout
+        # would lane-pad 42x (see _moller_trumbore note).
+        t0 = jnp.full((Rb, ds.n_instances), -jnp.inf)
+        t1 = jnp.full((Rb, ds.n_instances), jnp.inf)
+        for c in range(3):
+            o_lc = rays_o @ ds.inv_rot[:, c, :].T + ds.inv_trans[:, c]  # [Rb,N]
+            d_lc = rays_d @ ds.inv_rot[:, c, :].T
+            inv_dl = 1.0 / jnp.where(jnp.abs(d_lc) < 1e-12, 1e-12, d_lc)
+            t_a = (ds.b_0[c] - o_lc) * inv_dl
+            t_b = (ds.b_1[c] - o_lc) * inv_dl
+            t0 = jnp.maximum(t0, jnp.minimum(t_a, t_b))
+            t1 = jnp.minimum(t1, jnp.maximum(t_a, t_b))
         box_hit = (t0 < t1) & (t1 > 0) & (t0 < T_FAR)
         t0c = jnp.clip(t0, 0.0, T_FAR)
         t1c = jnp.clip(t1, 0.0, T_FAR)
@@ -385,22 +578,26 @@ class DeviceInstancer:
         tk1 = jnp.where(kvalid, jnp.take_along_axis(t1c, inst_idx, -1), jnp.inf)
 
         # 4. union of intervals via sorted events ------------------------
+        # Single-key sort of the event times; the active count after event j
+        # is computed by compare-all counting (#starts <= t minus
+        # #ends <= t) instead of argsort + permuted cumsum — fewer exotic
+        # ops for the TPU lowering, same result including tie handling.
         times = jnp.concatenate([tk0, tk1], -1)                      # [Rb,2K]
-        deltas = jnp.concatenate([kvalid, -kvalid.astype(jnp.int32)], -1).astype(jnp.int32)
-        order = jnp.argsort(times, -1)
-        times_s = jnp.take_along_axis(times, order, -1)
-        deltas_s = jnp.take_along_axis(deltas, order, -1)
-        count = jnp.cumsum(deltas_s, -1)
+        times_s = jnp.sort(times, -1)
+        finite_t = jnp.isfinite(times_s)
+        t_cmp = jnp.where(finite_t, times_s, 0.0)
+        starts_le = jnp.sum(tk0[:, None, :] <= t_cmp[:, :, None], axis=-1)
+        ends_le = jnp.sum(tk1[:, None, :] <= t_cmp[:, :, None], axis=-1)
+        count = jnp.where(finite_t, starts_le - ends_le, 0)
         nxt = jnp.concatenate([times_s[:, 1:], times_s[:, -1:]], -1)
-        gap = jnp.where(jnp.isfinite(nxt) & jnp.isfinite(times_s), nxt - times_s, 0.0)
+        gap = jnp.where(jnp.isfinite(nxt) & finite_t, nxt - times_s, 0.0)
         seg_len = jnp.where(count > 0, gap, 0.0)
         cum_incl = jnp.cumsum(seg_len, -1)                           # [Rb,2K]
         cum_excl = cum_incl - seg_len
         total = cum_incl[:, -1]
 
-        # 5. sample placement -------------------------------------------
-        k_off, k_sel = jax.random.split(key)
-        u_off = jax.random.uniform(k_off, (Rb,))
+        # 5. per-ray sample layout --------------------------------------
+        u_off = jax.random.uniform(key, (Rb,))
         necessary = jnp.floor(total / step).astype(jnp.int32)
         overflow = overflow + jnp.sum(jnp.maximum(necessary - S, 0))
         n_steps = jnp.minimum(necessary, S)
@@ -408,156 +605,27 @@ class DeviceInstancer:
         n_steps = jnp.where(tiny, 1, n_steps)
         t_offset = jnp.where(tiny, u_off * total, u_off * step)
 
-        i_idx = jnp.arange(S)[None, :]
-        sample_valid = i_idx < n_steps[:, None]
-        s_arc = i_idx * step + t_offset[:, None]
-
+        i_grid = jnp.arange(S)[None, :]
+        sample_valid = i_grid < n_steps[:, None]
         dists = jnp.where(
-            i_idx == n_steps[:, None] - 1,
+            i_grid == n_steps[:, None] - 1,
             step + total[:, None] - n_steps[:, None] * step,
             jnp.full((1, S), step),
         )
-        dists = jnp.where(tiny[:, None], jnp.where(i_idx == 0, total[:, None], 0.0), dists)
+        dists = jnp.where(tiny[:, None], jnp.where(i_grid == 0, total[:, None], 0.0), dists)
         dists = jnp.where(sample_valid, dists, 0.0)
 
-        j = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(cum_incl, s_arc)
-        j = jnp.clip(j, 0, 2 * K - 1)
-        t_seg = jnp.take_along_axis(times_s, j, -1)
-        c_seg = jnp.take_along_axis(cum_excl, j, -1)
-        t_mu = t_seg + (s_arc - c_seg)                               # [Rb,S]
-        t_mu = jnp.where(sample_valid, t_mu, 0.0)
-        t_pt = mean_distance(t_mu, step) if ds.use_mean_distance else t_mu
-
-        pts_w = rays_o[:, None, :] + rays_d[:, None, :] * t_pt[..., None]  # [Rb,S,3]
-
-        # 6. overlap resolution -----------------------------------------
-        active = (
-            kvalid[:, None, :]
-            & (tk0[:, None, :] <= t_pt[..., None])
-            & (t_pt[..., None] < tk1[:, None, :])
-        )  # [Rb,S,K]
-        n_active = jnp.sum(active, -1)
-        # Boundary fallback: nearest interval by distance when none matched.
-        iv_dist = jnp.maximum(tk0[:, None, :] - t_pt[..., None], t_pt[..., None] - tk1[:, None, :])
-        iv_dist = jnp.where(kvalid[:, None, :], jnp.maximum(iv_dist, 0.0), jnp.inf)
-        fallback_k = jnp.argmin(iv_dist, -1)
-        active = jnp.where(
-            (n_active == 0)[..., None],
-            jax.nn.one_hot(fallback_k, K, dtype=bool),
-            active,
-        )
-        n_active = jnp.maximum(n_active, 1)
-
-        sel_key = jax.random.fold_in(k_sel, 0)
-        u_sel = jax.random.uniform(sel_key, (Rb, S))
-        method = ds.instance_sampling_method
-
-        if method == "random":
-            target = jnp.floor(u_sel * n_active).astype(jnp.int32)
-            target = jnp.minimum(target, n_active - 1)
-            rank = jnp.cumsum(active, -1) - 1
-            pick = active & (rank == target[..., None])
-            sel_k = jnp.argmax(pick, -1)
-            weight = n_active.astype(jnp.float32)
-        else:
-            origins_k = ds.origins[inst_idx]                         # [Rb,K,3]
-            dist_k = jnp.linalg.norm(
-                pts_w[:, :, None, :] - origins_k[:, None, :, :], axis=-1
-            )  # [Rb,S,K]
-            dist_k = jnp.where(active, dist_k, jnp.inf)
-            if method == "nearest":
-                sel_k = jnp.argmin(dist_k, -1)
-                weight = jnp.ones((Rb, S), jnp.float32)
-            elif method == "nearest_blend":
-                min_d = jnp.min(dist_k, -1, keepdims=True)
-                w = jnp.maximum(ds.nearest_blend_range + min_d - dist_k, 0.0)
-                w = jnp.where(active, w, 0.0)
-                w_sum = jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-20)
-                prob = w / w_sum
-                cum = jnp.cumsum(prob, -1)
-                sel_k = jnp.sum((u_sel[..., None] > cum).astype(jnp.int32), -1)
-                sel_k = jnp.clip(sel_k, 0, K - 1)
-                p_sel = jnp.take_along_axis(prob, sel_k[..., None], -1)[..., 0]
-                weight = 1.0 / jnp.maximum(p_sel, 1e-20)
-            else:
-                raise ValueError(f"unknown instance_sampling_method {method}")
-        weight = jnp.where(n_active == 1, 1.0, weight)
-
-        inst = jnp.take_along_axis(inst_idx, sel_k, -1)              # [Rb,S]
-
-        # 7. local transforms -------------------------------------------
-        rot = ds.inv_rot[inst]                                       # [Rb,S,3,3]
-        trans = ds.inv_trans[inst]
-        pts_l = jnp.einsum("rsij,rsj->rsi", rot, pts_w) + trans
-        dinv = ds.dir_inv[inst]
-        dirs_l = jnp.einsum("rsij,rj->rsi", dinv, rays_d)
-
-        # 8. parameters: texture scaling --------------------------------
-        params_out = jnp.broadcast_to(parameters[:, None, :], (Rb, S, P))
-        uv = None
-        if ds.texture_parameter_idxs:
-            if self.texture_lookup == "jacobian" and ds.anchor_uv is not None:
-                # Linearized closest-point: uv = anchor_uv + J (p - anchor).
-                a_uv = ds.anchor_uv[inst]                            # [Rb,S,2]
-                jac = ds.uv_jacobian[inst]                           # [Rb,S,2,3]
-                rel = pts_w - ds.origins[inst]
-                uv = a_uv + jnp.einsum("rsij,rsj->rsi", jac, rel)
-                uv = jnp.clip(uv, 0.0, 1.0)
-            elif ds.tri_candidates is not None:
-                # Exact closest point over the baked candidate triangles.
-                cand = ds.tri_candidates[inst]                       # [Rb,S,Kt]
-                a = ds.tri_v0[cand]
-                e1 = ds.tri_e1[cand]
-                e2 = ds.tri_e2[cand]
-                b = a + e1
-                c = a + e2
-                bary = _closest_point_tri_jnp(pts_w[:, :, None, :], a, b, c)
-                cp = bary[..., 0:1] * a + bary[..., 1:2] * b + bary[..., 2:3] * c
-                d2 = jnp.sum((cp - pts_w[:, :, None, :]) ** 2, -1)
-                best = jnp.argmin(d2, -1)
-                tri_sel = jnp.take_along_axis(cand, best[..., None], -1)[..., 0]
-                bary_sel = jnp.take_along_axis(bary, best[..., None, None], -2)[..., 0, :]
-                uv_tri = ds.tri_uv[tri_sel]                          # [Rb,S,3,2]
-                uv = jnp.einsum("rsk,rskj->rsj", bary_sel, uv_tri)
-        if uv is not None:
-            updates = []
-            for i, slot in enumerate(ds.texture_parameter_idxs):
-                val = _sample_channel(ds.tex_channels[i], uv, ds.tex_dims[i])
-                updates.append((slot, params_out[..., slot] * val))
-            for slot, new in updates:
-                params_out = params_out.at[..., slot].set(new)
-
-        # 9. lighting ----------------------------------------------------
+        # 6. lighting / shadow precomputation (per ray) ------------------
         light_dir_w = None
+        shadow_blocked = None
         if ds.light_dir_idx >= 0 and P > ds.light_dir_idx + 2:
-            li = ds.light_dir_idx
-            light_dir_w = parameters[:, li : li + 3]                  # [Rb,3]
-
-            shadowed = jnp.zeros((Rb, S), bool)
-            if self.ds.cast_shadow_rays:
-                shadowed = self._shadow_mask(
-                    rays_o, rays_d, light_dir_w, cum_incl, cum_excl, times_s, total, s_arc
+            light_dir_w = parameters[:, ds.light_dir_idx : ds.light_dir_idx + 3]
+            if ds.cast_shadow_rays:
+                shadow_blocked = self._shadow_blocked_sparse(
+                    rays_o, rays_d, light_dir_w, cum_incl, cum_excl, times_s, total
                 )
 
-            if ds.light_strength_idx >= 0:
-                vec = light_dir_w[:, None, :] - pts_w
-            else:
-                vec = jnp.broadcast_to(light_dir_w[:, None, :], pts_w.shape)
-            vec_n = vec / jnp.maximum(jnp.linalg.norm(vec, axis=-1, keepdims=True), 1e-12)
-            local_l = jnp.einsum("rsij,rsj->rsi", dinv, vec_n)
-            down = jnp.broadcast_to(jnp.asarray([0, 0, -1.0], jnp.float32), local_l.shape)
-            local_l = jnp.where(shadowed[..., None], down, local_l)
-            params_out = jax.lax.dynamic_update_slice_in_dim(
-                params_out, local_l, li, axis=2
-            )
-
-            if ds.light_strength_idx >= 0:
-                eps = 1e-6
-                d2l = jnp.sum((light_dir_w[:, None, :] - pts_w) ** 2, -1)
-                strength = parameters[:, ds.light_strength_idx][:, None] / (4 * jnp.pi * d2l + eps)
-                params_out = params_out.at[..., ds.light_strength_idx].set(strength)
-
-        # 10. terminator -------------------------------------------------
+        # 7. terminator ---------------------------------------------------
         color_last = jnp.zeros((Rb, 1, 3), jnp.float32)
         alpha_last = mesh_hit[:, None].astype(jnp.float32)
         if ds.n_tris > 0 and len(ds.meshes) > 1:
@@ -565,23 +633,157 @@ class DeviceInstancer:
                 rays_o, rays_d, t_mesh, tri_best, u_best, v_best, mesh_hit, light_dir_w
             )[:, None, :]
 
-        # 11. outputs ----------------------------------------------------
-        world_dirs = jnp.broadcast_to(rays_d[:, None, :], (Rb, S, 3))
-        emit = sample_valid[..., None]
         hit = jnp.any(box_hit & (t1 > 0), -1) | mesh_hit
 
         return {
-            "rays_d": jnp.where(emit, dirs_l, world_dirs),
-            "pts": jnp.where(emit, pts_l, 0.0),
+            "tk0": tk0, "tk1": tk1, "inst_idx": inst_idx, "kvalid": kvalid,
+            "times_s": times_s, "cum_incl": cum_incl, "cum_excl": cum_excl,
+            "total": total, "n_steps": n_steps, "t_offset": t_offset, "tiny": tiny,
+            "dists": dists, "color_last": color_last, "alpha_last": alpha_last,
+            "hit": hit, "overflow": overflow,
+            "light_dir_w": light_dir_w, "shadow_blocked": shadow_blocked,
+        }
+
+    # -- per-sample stage (flat [M]; M = Rb*S dense, or the compact budget)
+
+    def _per_sample(self, ray, rays_o, rays_d, parameters, ray_idx, i_idx, step, key):
+        ds = self.ds
+        M = ray_idx.shape[0]
+        K = ray["tk0"].shape[-1]
+        P = parameters.shape[-1]
+
+        s_arc = i_idx * step + ray["t_offset"][ray_idx]              # [M]
+
+        cum_incl = ray["cum_incl"][ray_idx]                          # [M,2K]
+        j = jnp.sum(cum_incl <= s_arc[:, None], axis=-1)
+        j = jnp.clip(j, 0, 2 * K - 1)
+        t_mu = (
+            jnp.take_along_axis(ray["times_s"][ray_idx], j[:, None], -1)[:, 0]
+            + s_arc
+            - jnp.take_along_axis(ray["cum_excl"][ray_idx], j[:, None], -1)[:, 0]
+        )
+        t_pt = mean_distance(t_mu, step) if ds.use_mean_distance else t_mu
+
+        o_g = rays_o[ray_idx]
+        d_g = rays_d[ray_idx]
+        pts_w = o_g + d_g * t_pt[:, None]                            # [M,3]
+
+        # overlap resolution -------------------------------------------
+        tk0 = ray["tk0"][ray_idx]                                    # [M,K]
+        tk1 = ray["tk1"][ray_idx]
+        kvalid = ray["kvalid"][ray_idx]
+        inst_idx = ray["inst_idx"][ray_idx]
+
+        active = kvalid & (tk0 <= t_pt[:, None]) & (t_pt[:, None] < tk1)
+        n_active = jnp.sum(active, -1)
+        iv_dist = jnp.maximum(tk0 - t_pt[:, None], t_pt[:, None] - tk1)
+        iv_dist = jnp.where(kvalid, jnp.maximum(iv_dist, 0.0), jnp.inf)
+        fallback_k = jnp.argmin(iv_dist, -1)
+        active = jnp.where(
+            (n_active == 0)[:, None], jax.nn.one_hot(fallback_k, K, dtype=bool), active
+        )
+        n_active = jnp.maximum(n_active, 1)
+
+        u_sel = jax.random.uniform(key, (M,))
+        method = ds.instance_sampling_method
+        if method == "random":
+            target = jnp.minimum(jnp.floor(u_sel * n_active).astype(jnp.int32), n_active - 1)
+            rank = jnp.cumsum(active, -1) - 1
+            sel_k = jnp.argmax(active & (rank == target[:, None]), -1)
+            weight = n_active.astype(jnp.float32)
+        else:
+            origins_k = ds.origins[inst_idx]                         # [M,K,3]
+            dist_k = jnp.linalg.norm(pts_w[:, None, :] - origins_k, axis=-1)
+            dist_k = jnp.where(active, dist_k, jnp.inf)
+            if method == "nearest":
+                sel_k = jnp.argmin(dist_k, -1)
+                weight = jnp.ones((M,), jnp.float32)
+            elif method == "nearest_blend":
+                min_d = jnp.min(dist_k, -1, keepdims=True)
+                w = jnp.where(active, jnp.maximum(ds.nearest_blend_range + min_d - dist_k, 0.0), 0.0)
+                prob = w / jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-20)
+                cum = jnp.cumsum(prob, -1)
+                sel_k = jnp.clip(jnp.sum((u_sel[:, None] > cum).astype(jnp.int32), -1), 0, K - 1)
+                p_sel = jnp.take_along_axis(prob, sel_k[:, None], -1)[:, 0]
+                weight = 1.0 / jnp.maximum(p_sel, 1e-20)
+            else:
+                raise ValueError(f"unknown instance_sampling_method {method}")
+        weight = jnp.where(n_active == 1, 1.0, weight)
+
+        inst = jnp.take_along_axis(inst_idx, sel_k[:, None], -1)[:, 0]  # [M]
+
+        # local transforms ----------------------------------------------
+        rot = ds.inv_rot[inst]                                       # [M,3,3]
+        pts_l = jnp.einsum("mij,mj->mi", rot, pts_w) + ds.inv_trans[inst]
+        dinv = ds.dir_inv[inst]
+        dirs_l = jnp.einsum("mij,mj->mi", dinv, d_g)
+
+        # texture parameters --------------------------------------------
+        params_out = parameters[ray_idx]                             # [M,P]
+        uv = None
+        if ds.texture_parameter_idxs:
+            if self.texture_lookup == "jacobian" and ds.anchor_uv is not None:
+                a_uv = ds.anchor_uv[inst]
+                jac = ds.uv_jacobian[inst]
+                rel = pts_w - ds.origins[inst]
+                uv = jnp.clip(a_uv + jnp.einsum("mij,mj->mi", jac, rel), 0.0, 1.0)
+            elif ds.tri_candidates is not None:
+                cand = ds.tri_candidates[inst]                       # [M,Kt]
+                a = ds.tri_v0[cand]
+                e1 = ds.tri_e1[cand]
+                e2 = ds.tri_e2[cand]
+                b = a + e1
+                c = a + e2
+                bary = _closest_point_tri_jnp(pts_w[:, None, :], a, b, c)
+                cp = bary[..., 0:1] * a + bary[..., 1:2] * b + bary[..., 2:3] * c
+                d2 = jnp.sum((cp - pts_w[:, None, :]) ** 2, -1)
+                best = jnp.argmin(d2, -1)
+                tri_sel = jnp.take_along_axis(cand, best[:, None], -1)[:, 0]
+                bary_sel = jnp.take_along_axis(bary, best[:, None, None], -2)[:, 0, :]
+                uv = jnp.einsum("mk,mkj->mj", bary_sel, ds.tri_uv[tri_sel])
+        if uv is not None:
+            for i, slot in enumerate(ds.texture_parameter_idxs):
+                val = _sample_channel(ds.tex_channels[i], uv, ds.tex_dims[i])
+                params_out = params_out.at[:, slot].set(params_out[:, slot] * val)
+
+        # lighting -------------------------------------------------------
+        if ray["light_dir_w"] is not None:
+            li = ds.light_dir_idx
+            light_g = ray["light_dir_w"][ray_idx]                    # [M,3]
+
+            if ray["shadow_blocked"] is not None:
+                Ssh = ray["shadow_blocked"].shape[-1]
+                bucket = jnp.clip(
+                    jnp.floor(s_arc / jnp.maximum(ray["total"][ray_idx], 1e-12) * Ssh).astype(jnp.int32),
+                    0, Ssh - 1,
+                )
+                shadowed = ray["shadow_blocked"][ray_idx, bucket]
+            else:
+                shadowed = jnp.zeros((M,), bool)
+
+            if ds.light_strength_idx >= 0:
+                vec = light_g - pts_w
+            else:
+                vec = light_g
+            vec_n = vec / jnp.maximum(jnp.linalg.norm(vec, axis=-1, keepdims=True), 1e-12)
+            local_l = jnp.einsum("mij,mj->mi", dinv, vec_n)
+            down = jnp.broadcast_to(jnp.asarray([0, 0, -1.0], jnp.float32), local_l.shape)
+            local_l = jnp.where(shadowed[:, None], down, local_l)
+            params_out = jax.lax.dynamic_update_slice_in_dim(params_out, local_l, li, axis=1)
+
+            if ds.light_strength_idx >= 0:
+                eps = 1e-6
+                d2l = jnp.sum((light_g - pts_w) ** 2, -1)
+                strength = parameters[ray_idx, ds.light_strength_idx] / (4 * jnp.pi * d2l + eps)
+                params_out = params_out.at[:, ds.light_strength_idx].set(strength)
+
+        return {
+            "pts": pts_l,
+            "dirs": dirs_l,
+            "parameters": params_out,
             "t": t_mu,
-            "dists": dists,
-            "color_last": color_last,
-            "alpha_last": alpha_last,
-            "alpha_weight": jnp.where(sample_valid, weight, 1.0),
-            "instance_id": jnp.where(sample_valid, inst, 0).astype(jnp.int32),
-            "hit": hit,
-            "parameters": jnp.where(emit, params_out, jnp.broadcast_to(parameters[:, None, :], (Rb, S, P))),
-            "overflow": overflow,
+            "weight": weight,
+            "instance_id": inst.astype(jnp.int32),
         }
 
     # -- shadows ---------------------------------------------------------
@@ -590,18 +792,25 @@ class DeviceInstancer:
         """Batched occlusion query (instancer.cpp:593-602 + filter :544-554).
         pts [..., 3], light_dir [..., 3] -> blocked [...]."""
         ds = self.ds
-        o_l = jnp.einsum("nij,...j->...ni", ds.inv_rot, pts) + ds.inv_trans
-        d_l = jnp.einsum("nij,...j->...ni", ds.inv_rot, light_dir)
+        # Componentwise [..., N] planes (lane-padding avoidance, see
+        # _moller_trumbore note).
+        rot = ds.inv_rot
+        o_lx = pts @ rot[:, 0, :].T + ds.inv_trans[:, 0]
+        o_ly = pts @ rot[:, 1, :].T + ds.inv_trans[:, 1]
+        o_lz = pts @ rot[:, 2, :].T + ds.inv_trans[:, 2]
+        d_lx = light_dir @ rot[:, 0, :].T
+        d_ly = light_dir @ rot[:, 1, :].T
+        dz = light_dir @ rot[:, 2, :].T
 
-        dz = d_l[..., 2]
         safe_dz = jnp.where(jnp.abs(dz) < 1e-12, 1e-12, dz)
 
         def face_block(z_plane, is_top):
-            t = (z_plane - o_l[..., 2]) / safe_dz
-            p = o_l[..., :2] + t[..., None] * d_l[..., :2]
+            t = (z_plane - o_lz) / safe_dz
+            px = o_lx + t * d_lx
+            py = o_ly + t * d_ly
             inside = (
-                (p[..., 0] >= ds.b_0[0]) & (p[..., 0] <= ds.b_1[0])
-                & (p[..., 1] >= ds.b_0[1]) & (p[..., 1] <= ds.b_1[1])
+                (px >= ds.b_0[0]) & (px <= ds.b_1[0])
+                & (py >= ds.b_0[1]) & (py <= ds.b_1[1])
             )
             ok = (t > 0) & (t < T_FAR) & inside & (jnp.abs(dz) > 1e-12)
             if is_top:
@@ -618,29 +827,21 @@ class DeviceInstancer:
 
         return blocked
 
-    def _shadow_mask(self, rays_o, rays_d, light_dir, cum_incl, cum_excl, times_s, total, s_arc):
-        """Sparse shadow samples along the inside-arc + nearest-neighbor
-        assignment to the actual samples (instancer.cpp:929-951's sparse
-        path, uniform over the union instead of per-segment)."""
-        Rb = rays_o.shape[0]
+    def _shadow_blocked_sparse(self, rays_o, rays_d, light_dir, cum_incl, cum_excl, times_s, total):
+        """Sparse shadow samples along the inside-arc (instancer.cpp:929-951's
+        sparse path, uniform over the union instead of per-segment); samples
+        look up their bucket by arc position in the per-sample stage.
+        Returns blocked [Rb, Ssh]."""
         Ssh = self.shadow_samples
         frac = (jnp.arange(Ssh) + 0.5) / Ssh
         s_sh = frac[None, :] * total[:, None]                        # [Rb,Ssh]
-        j = jax.vmap(lambda c, q: jnp.searchsorted(c, q, side="right"))(cum_incl, s_sh)
+        j = jnp.sum(cum_incl[:, None, :] <= s_sh[:, :, None], axis=-1)
         j = jnp.clip(j, 0, times_s.shape[-1] - 1)
         t_sh = jnp.take_along_axis(times_s, j, -1) + (
             s_sh - jnp.take_along_axis(cum_excl, j, -1)
         )
         pts_sh = rays_o[:, None, :] + rays_d[:, None, :] * t_sh[..., None]
-        blocked = self._shadow_query(pts_sh, light_dir[:, None, :])  # [Rb,Ssh]
-
-        # Nearest shadow sample for each actual sample (by arc position).
-        idx = jnp.clip(
-            jnp.floor(s_arc / jnp.maximum(total[:, None], 1e-12) * Ssh).astype(jnp.int32),
-            0,
-            Ssh - 1,
-        )
-        return jnp.take_along_axis(blocked, idx, -1)
+        return self._shadow_query(pts_sh, light_dir[:, None, :])     # [Rb,Ssh]
 
     # -- terminator shading ----------------------------------------------
 

@@ -15,7 +15,15 @@ import jax.numpy as jnp
 
 
 class FourierFeatures:
-    """gamma(x) = [x, sin(2^k x), cos(2^k x)]_{k<n}; out dim d*(2n+1)."""
+    """gamma(x) = [x, sin(2^k x)_k, cos(2^k x)_k]; out dim d*(2n+1).
+
+    TPU note: the bands are evaluated as TWO transcendentals on one
+    [N, d*n] tensor instead of 2n ops on [N, d] slices — narrow last dims
+    pad to the 128-lane register width (a 42x memory expansion at d=3), so
+    per-band evaluation wastes VMEM and HBM badly.  Consequently the output
+    groups all sin bands then all cos bands (the reference interleaves per
+    band, layer.py:14-23) — equivalent up to a permutation of the first
+    dense layer's rows, irrelevant for freshly trained weights."""
 
     def __init__(self, n_freq_bands: int) -> None:
         self.n_freq_bands = int(n_freq_bands)
@@ -25,12 +33,13 @@ class FourierFeatures:
 
     def __call__(self, x):
         x = jnp.asarray(x)
-        feats = [x]
-        for k in range(self.n_freq_bands):
-            freq = jnp.asarray(2.0**k, x.dtype)
-            feats.append(jnp.sin(freq * x))
-            feats.append(jnp.cos(freq * x))
-        return jnp.concatenate(feats, -1)
+        n = self.n_freq_bands
+        if n == 0:
+            return x
+        d = x.shape[-1]
+        freqs = (2.0 ** jnp.arange(n, dtype=x.dtype))
+        xs = jnp.reshape(x[..., None, :] * freqs[:, None], x.shape[:-1] + (n * d,))
+        return jnp.concatenate([x, jnp.sin(xs), jnp.cos(xs)], -1)
 
 
 class IntegratedPositionalEncoding:

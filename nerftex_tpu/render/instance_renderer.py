@@ -82,13 +82,23 @@ class InstanceRenderer(Renderer):
         )
         k_inst, k_noise = jax.random.split(key)
 
-        inst = self.instancer.get_model_input_dict(
-            rays_o, rays_d, parameters, self.n_samples, self.step_size, key=k_inst
-        )
-
-        color_map, alpha_map = self._shade(
-            params, inst, rays_o, rays_d, parameters, cone_scale, k_noise, composite_bkgd, bkgd_color
-        )
+        if self.sample_budget_per_ray > 0:
+            inst = self.instancer.device.get_model_input_compact(
+                rays_o, rays_d, parameters, self.n_samples, self.step_size,
+                self.sample_budget_per_ray, key=k_inst,
+            )
+            color_map, alpha_map = self._shade_compact(
+                params, inst, rays_o, rays_d, parameters, cone_scale, k_noise,
+                composite_bkgd, bkgd_color,
+            )
+        else:
+            inst = self.instancer.get_model_input_dict(
+                rays_o, rays_d, parameters, self.n_samples, self.step_size, key=k_inst
+            )
+            color_map, alpha_map = self._shade(
+                params, inst, rays_o, rays_d, parameters, cone_scale, k_noise,
+                composite_bkgd, bkgd_color,
+            )
 
         # Rays culled by the proxy (t = inf) contribute nothing
         # (renderer.py:58-67); instancer misses already have zero weights.
@@ -161,6 +171,86 @@ class InstanceRenderer(Renderer):
         density = jnp.zeros((r * s,)).at[flat_idx].add(density_c[:, 0] * taken)
         return color.reshape(r, s, 3) * mask[..., None], density.reshape(r, s) * mask
 
+    # -- compact path (instancer emits only valid samples) ----------------
+
+    def _mlp_inputs_compact(self, inst, cone_scale):
+        """Per-compacted-sample MLP inputs + blur scaling on [B] arrays."""
+        prms = inst["parameters"]
+        if self.blur_idx is not None:
+            blur_scale = (
+                cone_scale[inst["ray_idx"], 0] * inst["t"] / self.patch_scale
+            )
+            b = self.blur_idx
+            prms = jnp.concatenate(
+                [prms[:, :b], prms[:, b, None] * blur_scale[:, None], prms[:, b + 1 :]],
+                axis=-1,
+            )
+        return inst["pts"], inst["rays_d"], prms
+
+    def _scatter_composite(
+        self, inst, color_c, density_c, n_rays, k_noise, composite_bkgd, bkgd_color
+    ):
+        """Reconstruct dense [R,S] fields from compacted per-sample MLP
+        outputs and composite with the dense dists/terminator."""
+        density_c = density_c * (
+            inst["alpha_weight"] if self.density_reweighting else 1.0
+        ) * self.density_scale
+
+        if self.false_color:
+            color_c = self.instance_color[inst["instance_id"]]
+
+        S = inst["dists"].shape[1]
+        taken = inst["taken"]
+        flat_idx = inst["ray_idx"] * S + inst["i_idx"]
+        color = (
+            jnp.zeros((n_rays * S, 3))
+            .at[flat_idx]
+            .add(jnp.where(taken[:, None], color_c, 0.0))
+            .reshape(n_rays, S, 3)
+        )
+        density = (
+            jnp.zeros((n_rays * S,))
+            .at[flat_idx]
+            .add(jnp.where(taken, density_c, 0.0))
+            .reshape(n_rays, S)
+        )
+
+        return volume.composite_precomputed_alpha(
+            color,
+            density,
+            inst["dists"],
+            inst["color_last"],
+            inst["alpha_last"],
+            self.patch_scale,
+            composite_bkgd=False,
+            bkgd_color=bkgd_color,
+            raw_noise_std=self.raw_noise_std,
+            noise_key=k_noise,
+            map_exr=self.map_exr,
+            # false_color pre-applied on the compacted colors above; the
+            # compositor must not sigmoid them.
+            false_color=color if self.false_color else None,
+        )
+
+    def _shade_compact(
+        self, params, inst, rays_o, rays_d, parameters, cone_scale, k_noise, composite_bkgd, bkgd_color
+    ):
+        pos, dirs, prms = self._mlp_inputs_compact(inst, cone_scale)
+        # Zero untaken (padding) inputs so the MLP never sees garbage values
+        # (where, not multiply: padding can hold inf, and inf * 0 = nan).
+        taken = inst["taken"][:, None]
+        color_c, density_c = chunked_apply(
+            self.model.apply,
+            params["model"],
+            (jnp.where(taken, pos, 0.0), jnp.where(taken, dirs, 0.0), jnp.where(taken, prms, 0.0)),
+            self.net_chunk,
+        )
+        return self._scatter_composite(
+            inst, color_c, density_c[:, 0], rays_o.shape[0], k_noise, composite_bkgd, bkgd_color
+        )
+
+    # -- dense path (test/compat) -----------------------------------------
+
     def _shade(
         self, params, inst, rays_o, rays_d, parameters, cone_scale, k_noise, composite_bkgd, bkgd_color
     ):
@@ -206,7 +296,29 @@ class MipInstanceRenderer(InstanceRenderer):
         self.blur_idx_mip = blur_idx
 
     def _model_inputs(self, inst, rays_d, parameters, cone_scale):
-        raise NotImplementedError  # unused; _shade overridden below
+        raise NotImplementedError  # unused; _shade/_shade_compact overridden below
+
+    def _shade_compact(
+        self, params, inst, rays_o, rays_d, parameters, cone_scale, k_noise, composite_bkgd, bkgd_color
+    ):
+        b = self.blur_idx_mip
+        prms = inst["parameters"]
+        radii = prms[:, b] * cone_scale[inst["ray_idx"], 0] / self.patch_scale
+        prms = jnp.concatenate([prms[:, :b], prms[:, b + 1 :]], axis=-1)
+
+        cov = volume.cone_sample_cov(inst["rays_d"], inst["t"], radii, inst["dists_c"])
+        pos = jnp.concatenate([inst["pts"], cov], axis=-1)
+
+        taken = inst["taken"][:, None]
+        color_c, density_c = chunked_apply(
+            self.model.apply,
+            params["model"],
+            (jnp.where(taken, pos, 0.0), jnp.where(taken, inst["rays_d"], 0.0), jnp.where(taken, prms, 0.0)),
+            self.net_chunk,
+        )
+        return self._scatter_composite(
+            inst, color_c, density_c[:, 0], rays_o.shape[0], k_noise, composite_bkgd, bkgd_color
+        )
 
     def _shade(
         self, params, inst, rays_o, rays_d, parameters, cone_scale, k_noise, composite_bkgd, bkgd_color

