@@ -219,11 +219,11 @@ def _moller_trumbore(o, d, v0, e1, e2, t_max=T_FAR):
 
     TPU note: written componentwise over [R,T] planes — a [R,T,3] layout
     puts 3 in the minor (lane) dimension and pads 42x in VMEM/HBM."""
-    ox, oy, oz = (o[:, c, None] for c in range(3))
-    dx, dy, dz = (d[:, c, None] for c in range(3))
-    e2x, e2y, e2z = (e2[None, :, c] for c in range(3))
-    e1x, e1y, e1z = (e1[None, :, c] for c in range(3))
-    v0x, v0y, v0z = (v0[None, :, c] for c in range(3))
+    ox, oy, oz = (o[..., c, None] for c in range(3))
+    dx, dy, dz = (d[..., c, None] for c in range(3))
+    e2x, e2y, e2z = (e2[:, c] for c in range(3))
+    e1x, e1y, e1z = (e1[:, c] for c in range(3))
+    v0x, v0y, v0z = (v0[:, c] for c in range(3))
 
     # pvec = d x e2  (outer-product broadcast -> [R,T] per component)
     px = dy * e2z - dz * e2y

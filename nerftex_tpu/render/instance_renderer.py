@@ -39,7 +39,7 @@ class InstanceRenderer(Renderer):
         density_scale: float = 1,
         density_reweighting: bool = True,
         false_color: bool = False,
-        sample_budget_per_ray: int = 0,
+        sample_budget_per_ray: int = 256,
         **kwargs,
     ) -> None:
         super().__init__(**kwargs)
@@ -54,8 +54,10 @@ class InstanceRenderer(Renderer):
         self.density_scale = density_scale
         self.density_reweighting = density_reweighting
         self.false_color = false_color
-        # 0 = no compaction (dense masked eval). >0 caps the average number
-        # of MLP samples per ray in a chunk.
+        # Caps the AVERAGE number of per-sample/MLP evaluations per ray in a
+        # chunk (total budget = chunk * this; overflow drops the deepest
+        # samples and is counted).  0 = dense masked evaluation over the full
+        # n_samples grid (reference-exact; slower).
         self.sample_budget_per_ray = sample_budget_per_ray
         if false_color:
             self.instance_color = jax.random.uniform(
