@@ -37,8 +37,12 @@ class FourierFeatures:
         if n == 0:
             return x
         d = x.shape[-1]
-        freqs = (2.0 ** jnp.arange(n, dtype=x.dtype))
-        xs = jnp.reshape(x[..., None, :] * freqs[:, None], x.shape[:-1] + (n * d,))
+        # Frequency ladder as one [d, n*d] matmul: xs[:, k*d+j] = 2^k x[:, j].
+        # (A broadcast-and-reshape builds an [N, n, d] intermediate whose
+        # minor dims tile-pad catastrophically; the MXU handles this layout
+        # natively.)
+        lift = _freq_lift(n, d, x.dtype)
+        xs = x @ lift
         return jnp.concatenate([x, jnp.sin(xs), jnp.cos(xs)], -1)
 
 
@@ -56,11 +60,11 @@ class IntegratedPositionalEncoding:
     def __call__(self, x):
         x = jnp.asarray(x)
         n = self.n_freq_bands
-        freqs = 2.0 ** jnp.arange(n, dtype=x.dtype)
 
-        # [..., n, 3] -> flattened [N, 3n] with layout [f0*x, f0*y, f0*z, f1*x, ...]
-        y = jnp.reshape(x[..., None, :3] * freqs[:, None], (-1, 3 * n))
-        y_var = jnp.reshape(x[..., None, 3:] * (freqs**2)[:, None], (-1, 3 * n))
+        # Frequency lift as matmuls (layout note in FourierFeatures).
+        lift = _freq_lift(n, 3, x.dtype)
+        y = jnp.reshape(x[..., :3], (-1, 3)) @ lift
+        y_var = jnp.reshape(x[..., 3:], (-1, 3)) @ (lift * lift)
 
         z = jnp.concatenate([y, y + 0.5 * pi], axis=-1)
         z_var = jnp.concatenate([y_var, y_var], axis=-1)
@@ -70,3 +74,14 @@ class IntegratedPositionalEncoding:
 def expected_sin(x, x_var):
     """E[sin(z)] for z ~ N(x, x_var) (layer.py:40-41)."""
     return jnp.sin(x) * jnp.exp(-0.5 * x_var)
+
+
+def _freq_lift(n: int, d: int, dtype):
+    """Constant [d, n*d] matrix with lift[j, k*d+j] = 2^k."""
+    import numpy as np
+
+    m = np.zeros((d, n * d), np.float32)
+    for k in range(n):
+        for j in range(d):
+            m[j, k * d + j] = 2.0**k
+    return jnp.asarray(m, dtype)

@@ -247,4 +247,18 @@ def ParamNerf(
         color = _dense(p["color"], h, cdt)
         return color.astype(jnp.float32), density.astype(jnp.float32)
 
-    return {name: Model(name, params, apply)}
+    model = Model(name, params, apply)
+    # Static topology handle for the fused Pallas inference kernel
+    # (nerftex_tpu/kernels/mlp_pallas.py).
+    model.static_topology = {
+        "pos_fm": pos_fm,
+        "dir_fm": dir_fm,
+        "param_fm": param_fm,
+        "n_geo": n_geo,
+        "n_app": n_app,
+        "depth": depth,
+        "skips": skips,
+        "color_depth": color_depth,
+        "param_depth": param_depth,
+    }
+    return {name: model}

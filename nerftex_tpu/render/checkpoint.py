@@ -53,9 +53,15 @@ class CheckpointManager:
 
     def save(self, state: dict, step: int) -> str:
         path = self._path(step)
+        # Multi-host: single-writer discipline — only process 0 touches disk
+        # (SURVEY.md §5 checkpoint/resume).  Everyone still materializes the
+        # state (cheap no-op on one host).
+        state_np = _to_numpy(state)
+        if jax.process_index() != 0:
+            return path
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
-            pickle.dump(_to_numpy(state), f, protocol=pickle.HIGHEST_PROTOCOL)
+            pickle.dump(state_np, f, protocol=pickle.HIGHEST_PROTOCOL)
         os.replace(tmp, path)
 
         self._sweep(step)

@@ -5,7 +5,7 @@ enable_compilation_cache()
 from nerftex_tpu.utils import util, rng
 from nerftex_tpu.utils.util import EasyDict
 
-def build(render_chunk=8192, ray_block=256, max_hits=64, budget=160, n_samples=1024, compute_dtype="float32"):
+def build(render_chunk=8192, ray_block=256, max_hits=64, budget=160, n_samples=1024, compute_dtype="float32", fused_mlp=False):
     rng.set_seed(0)
     import nerftex_tpu.models.mlp as mlp_mod
     mlp_mod._INIT_COUNTER[0] = 0
@@ -15,6 +15,9 @@ def build(render_chunk=8192, ray_block=256, max_hits=64, budget=160, n_samples=1
         "dir_embedding": {"module": "network.model.FourierFeatures", "n_freq_bands": 4},
         "param_embedding": {"module": "network.model.FourierFeatures", "n_freq_bands": 4},
         "n_parameters": [1, 6], "compute_dtype": compute_dtype}))
+    if fused_mlp:
+        from nerftex_tpu.kernels.mlp_pallas import fuse_model
+        fuse_model(models["model"])
     return util.instantiate(EasyDict({
         "module": "network.renderer.InstanceRenderer",
         "n_samples": n_samples, "render_chunk": render_chunk, "net_chunk": 65536,
@@ -55,8 +58,9 @@ if __name__ == "__main__":
     ap.add_argument("--n-samples", type=int, default=1024)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--fused-mlp", action="store_true")
     args = ap.parse_args()
-    renderer = build(args.chunk, args.block, args.max_hits, args.budget, args.n_samples, args.dtype)
+    renderer = build(args.chunk, args.block, args.max_hits, args.budget, args.n_samples, args.dtype, args.fused_mlp)
     data = ray_data(args.size, args.size)
     t0 = time.perf_counter()
     out = renderer(**data, training=False, key=jax.random.key(0))
