@@ -280,6 +280,7 @@ class DeviceInstancer:
         ray_block: int = 256,
         shadow_samples: int = 32,
         texture_lookup: str = "jacobian",
+        max_steps_per_ray: int = 512,
         seed: int = 0,
     ):
         self.ds = DeviceScene(scene)
@@ -287,6 +288,12 @@ class DeviceInstancer:
         self.ray_block = ray_block
         self.shadow_samples = shadow_samples
         self.texture_lookup = texture_lookup
+        # Compact-path cap on marching steps per ray: shrinks every [R,S]
+        # buffer (dists, compositing scatter) to min(n_samples, this).
+        # Rays needing more steps drop their deepest samples (counted in
+        # overflow).  The dense path keeps the full n_samples grid
+        # (reference-exact).
+        self.max_steps_per_ray = max_steps_per_ray
         self.seed = seed
         self._call_counter = 0
         self._jit_cache = {}
@@ -449,6 +456,7 @@ class DeviceInstancer:
         ds = self.ds
         Rb = rays_o.shape[0]
         B = budget_per_ray * Rb
+        S = min(S, self.max_steps_per_ray)
         k_ray, k_sample = jax.random.split(key)
 
         ray = self._per_ray(rays_o, rays_d, parameters, S, step, k_ray)
@@ -577,6 +585,17 @@ class DeviceInstancer:
         tk0 = jnp.where(kvalid, tk0, jnp.inf)
         tk1 = jnp.where(kvalid, jnp.take_along_axis(t1c, inst_idx, -1), jnp.inf)
 
+        # Per-ray quadratic coefficients for sample-to-anchor distances:
+        # |o + t d - c|^2 = a + 2 t b + t^2 (|d| = 1) — lets the per-sample
+        # stage compute nearest/blend distances with pure arithmetic instead
+        # of an [M,K,3] origins gather + reduce.
+        sel_a = sel_b = None
+        if ds.instance_sampling_method != "random":
+            oc = ds.origins[inst_idx]                                # [Rb,K,3]
+            diff = rays_o[:, None, :] - oc
+            sel_a = jnp.sum(diff * diff, -1)
+            sel_b = jnp.sum(rays_d[:, None, :] * diff, -1)
+
         # 4. union of intervals via sorted events ------------------------
         # Single-key sort of the event times; the active count after event j
         # is computed by compare-all counting (#starts <= t minus
@@ -637,6 +656,7 @@ class DeviceInstancer:
 
         return {
             "tk0": tk0, "tk1": tk1, "inst_idx": inst_idx, "kvalid": kvalid,
+            "sel_a": sel_a, "sel_b": sel_b,
             "times_s": times_s, "cum_incl": cum_incl, "cum_excl": cum_excl,
             "total": total, "n_steps": n_steps, "t_offset": t_offset, "tiny": tiny,
             "dists": dists, "color_last": color_last, "alpha_last": alpha_last,
@@ -692,13 +712,17 @@ class DeviceInstancer:
             sel_k = jnp.argmax(active & (rank == target[:, None]), -1)
             weight = n_active.astype(jnp.float32)
         else:
-            origins_k = ds.origins[inst_idx]                         # [M,K,3]
-            dist_k = jnp.linalg.norm(pts_w[:, None, :] - origins_k, axis=-1)
-            dist_k = jnp.where(active, dist_k, jnp.inf)
+            d2_k = (
+                ray["sel_a"][ray_idx]
+                + 2.0 * t_pt[:, None] * ray["sel_b"][ray_idx]
+                + (t_pt * t_pt)[:, None]
+            )
+            d2_k = jnp.where(active, jnp.maximum(d2_k, 0.0), jnp.inf)
             if method == "nearest":
-                sel_k = jnp.argmin(dist_k, -1)
+                sel_k = jnp.argmin(d2_k, -1)
                 weight = jnp.ones((M,), jnp.float32)
             elif method == "nearest_blend":
+                dist_k = jnp.where(active, jnp.sqrt(d2_k), jnp.inf)
                 min_d = jnp.min(dist_k, -1, keepdims=True)
                 w = jnp.where(active, jnp.maximum(ds.nearest_blend_range + min_d - dist_k, 0.0), 0.0)
                 prob = w / jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-20)
