@@ -129,3 +129,54 @@ def test_sharded_render_matches_replicated():
     np.testing.assert_allclose(
         np.asarray(out_ref["color_pred"]), np.asarray(out_sh["color_pred"]), atol=1e-5
     )
+
+
+def test_sharded_instanced_render_matches_replicated():
+    """The full instanced pipeline (intervals, top-K, events, selection,
+    compaction, MLP, composite) partitions over the ray axis via GSPMD:
+    sharded inputs produce bit-identical output to replicated ones."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from nerftex_tpu.instancing.instancer import Instancer
+    from nerftex_tpu.render.instance_renderer import InstanceRenderer
+    from nerftex_tpu.models.mlp import Model
+
+    inst = Instancer(
+        b_0=[-0.5, -0.5, -0.5], b_1=[0.5, 0.5, 0.5],
+        transformations=[np.eye(4, dtype=np.float32)], ray_block=16, max_hits=4,
+    )
+
+    def apply(params, pos, dirs, prms):
+        n = pos.shape[0]
+        return jnp.zeros((n, 3)) + 0.0 * params["w"].sum(), jnp.full((n, 1), 3.0)
+
+    model = Model("model", {"w": jnp.zeros(1)}, apply)
+    renderer = InstanceRenderer(
+        instancer_config=inst, model=model, n_samples=32, step_size=0.05,
+        render_chunk=128, sample_budget_per_ray=16,
+    )
+    rs = np.random.RandomState(0)
+    n = 128
+    data = dict(
+        rays_o=np.concatenate(
+            [rs.uniform(-0.3, 0.3, (1, n, 2)), np.full((1, n, 1), 5.0)], -1
+        ).astype(np.float32),
+        rays_d=np.tile([0, 0, -1.0], (1, n, 1)).astype(np.float32),
+        t=np.tile([3.0, 7.0], (1, n, 1)).astype(np.float32),
+        parameters=np.zeros((1, 0), np.float32),
+        cone_scale=np.full((1, n, 1), 0.01, np.float32),
+    )
+
+    ref = renderer(**data, training=False, key=jax.random.key(0))
+
+    mesh = make_mesh(8, shape=(8, 1))
+    sh = NamedSharding(mesh, P(None, "data"))
+    data_sh = dict(data)
+    for k in ("rays_o", "rays_d", "t", "cone_scale"):
+        data_sh[k] = jax.device_put(data[k], sh)
+    out = renderer(**data_sh, training=False, key=jax.random.key(0))
+    np.testing.assert_allclose(
+        np.asarray(ref["color_pred"]), np.asarray(out["color_pred"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref["alpha_pred"]), np.asarray(out["alpha_pred"]), atol=1e-5
+    )
