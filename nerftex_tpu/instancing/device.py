@@ -103,7 +103,9 @@ class DeviceScene:
             self.anchor_uv = None
             self.uv_jacobian = None
 
-        # Parameter texture channels, padded to a common [C, W, H].
+        # Parameter texture channels, padded to a common [C, W, H] and also
+        # packed as vertical pairs [C, W, H, 2] (pair[x,y] = (c[x,y],
+        # c[x,y+1])) so a bilinear fetch needs 2 row gathers instead of 4.
         if scene.texture_channels:
             w = max(c.shape[0] for c in scene.texture_channels)
             h = max(c.shape[1] for c in scene.texture_channels)
@@ -113,8 +115,11 @@ class DeviceScene:
                 stack[i, : c.shape[0], : c.shape[1]] = c
                 self.tex_dims.append((c.shape[0], c.shape[1]))
             self.tex_channels = jnp.asarray(stack)
+            pairs = np.stack([stack, np.concatenate([stack[:, :, 1:], stack[:, :, -1:]], -1)], -1)
+            self.tex_pairs = jnp.asarray(pairs)  # [C, W, H, 2]
         else:
             self.tex_channels = None
+            self.tex_pairs = None
             self.tex_dims = []
 
         # Aux albedo textures as [M, W, H, 3] (gray -> replicated), mesh_id
@@ -142,6 +147,18 @@ class DeviceScene:
             else:
                 self.mesh_tex = None
                 self.mesh_tex_dims = []
+
+        # If every instance is a uniformly-scaled rotation (the mesh
+        # placement path always is), dir_inv == inv_rot * patch-scale and the
+        # per-sample dir_inv gather can reuse the inv_rot gather.
+        self.uniform_scale = None
+        if n:
+            scales = np.linalg.norm(np.asarray(scene.forward)[:, :3, 0], axis=-1)
+            dir_from_inv = inv[:, :3, :3] * scales[:, None, None]
+            if (np.abs(scales - scales[0]) < 1e-5 * max(scales[0], 1e-9)).all() and np.abs(
+                dir_from_inv - np.asarray(scene.dir_inverse, np.float32)
+            ).max() < 1e-4:
+                self.uniform_scale = float(scales[0])
 
         # Static metadata.
         self.patch_scale = float(scene.patch_scale)
@@ -246,6 +263,23 @@ def _moller_trumbore(o, d, v0, e1, e2, t_max=T_FAR):
 
     ok = (jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-6) & (t < t_max)
     return jnp.where(ok, t, jnp.inf), u, v
+
+
+def _sample_channel_pairs(pairs, uv, dims):
+    """Bilinear fetch via 2 vertical-pair row gathers.  pairs [W,H,2]."""
+    w, h = dims
+    x = jnp.clip(uv[..., 0], 0, 1) * (w - 1)
+    y = jnp.clip(uv[..., 1], 0, 1) * (h - 1)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, max(w - 2, 0))
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, max(h - 2, 0))
+    fx = x - x0
+    fy = y - y0
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    p0 = pairs[x0, y0]                                   # [..., 2]
+    p1 = pairs[x1, y0]
+    c0 = p0[..., 0] * (1 - fy) + p0[..., 1] * fy
+    c1 = p1[..., 0] * (1 - fy) + p1[..., 1] * fy
+    return c0 * (1 - fx) + c1 * fx
 
 
 def _sample_channel(channel, uv, dims):
@@ -739,7 +773,10 @@ class DeviceInstancer:
         # local transforms ----------------------------------------------
         rot = ds.inv_rot[inst]                                       # [M,3,3]
         pts_l = jnp.einsum("mij,mj->mi", rot, pts_w) + ds.inv_trans[inst]
-        dinv = ds.dir_inv[inst]
+        if ds.uniform_scale is not None:
+            dinv = rot * ds.uniform_scale
+        else:
+            dinv = ds.dir_inv[inst]
         dirs_l = jnp.einsum("mij,mj->mi", dinv, d_g)
 
         # texture parameters --------------------------------------------
@@ -767,7 +804,7 @@ class DeviceInstancer:
                 uv = jnp.einsum("mk,mkj->mj", bary_sel, ds.tri_uv[tri_sel])
         if uv is not None:
             for i, slot in enumerate(ds.texture_parameter_idxs):
-                val = _sample_channel(ds.tex_channels[i], uv, ds.tex_dims[i])
+                val = _sample_channel_pairs(ds.tex_pairs[i], uv, ds.tex_dims[i])
                 params_out = params_out.at[:, slot].set(params_out[:, slot] * val)
 
         # lighting -------------------------------------------------------
