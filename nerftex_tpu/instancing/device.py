@@ -29,8 +29,6 @@ sample — this is the round-trip the reference paid per chunk
 (instancer.pyx:38-54) and the benchmark's north star removes.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

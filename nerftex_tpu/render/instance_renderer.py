@@ -135,42 +135,16 @@ class InstanceRenderer(Renderer):
         return inst["pts"], inst["rays_d"], params_map
 
     def _eval_mlp(self, params, model, pos, dirs, prms, mask):
-        """Masked fixed-shape MLP evaluation with optional sample-major
-        compaction.  pos [R,S,D], mask [R,S] -> (color [R,S,3], density [R,S])."""
+        """Dense masked MLP evaluation for the reference-exact path
+        (sample compaction lives in the instancer; see _shade_compact).
+        pos [R,S,D], mask [R,S] -> (color [R,S,3], density [R,S])."""
         r, s = mask.shape
-        budget = self.sample_budget_per_ray * r
-        pos_f = pos.reshape(r * s, -1)
-        dirs_f = dirs.reshape(r * s, -1)
-        prms_f = prms.reshape(r * s, -1)
-        mask_f = mask.reshape(r * s)
-
-        if budget <= 0 or budget >= r * s:
-            color, density = chunked_apply(
-                model.apply, params, (pos_f, dirs_f, prms_f), self.net_chunk
-            )
-            return (
-                color.reshape(r, s, 3) * mask[..., None],
-                density.reshape(r, s) * mask,
-            )
-
-        # Sample-major order: index (i, ray) -> flat s-major so truncation
-        # drops the deepest samples across all rays uniformly.
-        order = (jnp.arange(r * s).reshape(r, s).T.reshape(-1))
-        mask_sm = mask_f[order]
-        idx_sm = jnp.nonzero(mask_sm, size=budget, fill_value=0)[0]
-        taken = jnp.arange(budget) < jnp.sum(mask_sm)
-        flat_idx = order[idx_sm]
-
-        color_c, density_c = chunked_apply(
+        color, density = chunked_apply(
             model.apply,
             params,
-            (pos_f[flat_idx], dirs_f[flat_idx], prms_f[flat_idx]),
+            (pos.reshape(r * s, -1), dirs.reshape(r * s, -1), prms.reshape(r * s, -1)),
             self.net_chunk,
         )
-        # Scatter-add (not set): padded slots all alias index 0 with zeroed
-        # values, which must not clobber the real sample living there.
-        color = jnp.zeros((r * s, 3)).at[flat_idx].add(color_c * taken[:, None])
-        density = jnp.zeros((r * s,)).at[flat_idx].add(density_c[:, 0] * taken)
         return color.reshape(r, s, 3) * mask[..., None], density.reshape(r, s) * mask
 
     # -- compact path (instancer emits only valid samples) ----------------

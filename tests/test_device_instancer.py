@@ -281,3 +281,36 @@ def test_device_cloth_scene_smoke(assets):
     # Local dirs unit-norm.
     d = np.asarray(rays_d_m)[valid]
     np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-4)
+
+
+def test_aux_mesh_terminator_shading_matches_oracle(assets):
+    """Auxiliary mesh behind the patch: device Lambert+ambient terminator
+    shading (textured albedo) matches the numpy oracle."""
+    from nerftex_tpu.instancing.scene import SceneMesh
+
+    scene = Scene(
+        b_0=[-0.5, -0.5, -0.5], b_1=[0.5, 0.5, 0.5], textures=["light"]
+    )
+    scene.add_instance(np.eye(4, dtype=np.float32))
+    # Base mesh far below (never hit), aux floor at z=-2 with a texture.
+    scene.base_mesh = SceneMesh(
+        np.array([[-9, -9, -9], [9, -9, -9], [9, 9, -9], [-9, 9, -9]], np.float32),
+        np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+    )
+    scene.add_mesh(os.path.join(assets, "cloth_mesh.ply"),
+                   os.path.join(assets, "checkerboard.png"))
+    # Shift the aux mesh down so the ray exits the patch first.
+    scene.aux_meshes[0].V[:, 2] -= 2.0
+
+    rays_o = np.array([[0.1, 0.05, 5.0], [-0.2, 0.1, 5.0]], np.float32)
+    rays_d = np.tile(np.array([0, 0, -1.0], np.float32), (2, 1))
+    params = np.tile(np.array([0, 0, 1.0], np.float32), (2, 1))
+
+    dev = DeviceInstancer(scene, max_hits=4, ray_block=2)
+    out_d = {k: np.asarray(v) for k, v in dev.get_model_input(
+        rays_o, rays_d, params, 32, 0.1).items()}
+    out_o = oracle.get_model_input(scene, rays_o, rays_d, params, 32, 0.1)
+
+    np.testing.assert_allclose(out_d["alpha_last"], out_o["alpha_last"], atol=1e-5)
+    np.testing.assert_allclose(out_d["color_last"], out_o["color_last"], atol=2e-2)
+    assert out_d["color_last"].max() > 0.05  # actually shaded, not black

@@ -193,3 +193,40 @@ def test_render_driver_writes_test_images(tmp_path):
 
     img = read_image(str(imgs[0]))
     assert img.shape == (8, 8, 4)
+
+
+def test_render_with_source_path(tmp_path):
+    """Render restores a checkpoint from a different source_path
+    (render.py:11, logger.py:15)."""
+    os.environ["NERFTEX_NO_TENSORBOARD"] = "1"
+    rng.set_seed(0)
+    tfr_path = tmp_path / "train.tfr"
+    make_synthetic_tfrecord(str(tfr_path), n_images=4, size=16)
+    train_target = tmp_path / "trained"
+    cfg = _train_config(tfr_path, train_target, n_iters=5)
+    util.instantiate(cfg)
+
+    import nerftex_tpu.models.mlp as mlp_mod
+
+    rng.set_seed(0)
+    mlp_mod._INIT_COUNTER[0] = 0
+    render_target = tmp_path / "rendered"
+    util.instantiate(
+        EasyDict(
+            {
+                "module": "network.render.Render",
+                "target_path": str(render_target),
+                "source_path": str(train_target),
+                "override": True,
+                "test_dataset_config": cfg["val_dataset_config"],
+                "model_config": cfg["model_config"],
+                "renderer_config": {
+                    "module": "network.renderer.Renderer",
+                    "n_samples": 16,
+                    "perturb": False,
+                },
+                "logger_config": {"module": "network.logger.Logger"},
+            }
+        )
+    )
+    assert (render_target / "media/test/0.png").exists()
