@@ -113,7 +113,22 @@ class InstanceRenderer(Renderer):
                 bkgd_color, jnp.float32
             )
 
-        return {"color_pred": color_map, "alpha_pred": alpha_map}
+        return {
+            "color_pred": color_map,
+            "alpha_pred": alpha_map,
+            "_overflow": inst["overflow"],
+        }
+
+    def _report_diagnostics(self, out: dict) -> None:
+        overflow = out.pop("_overflow", 0)
+        if overflow:
+            # Parity with the reference's buffer warning (instancer.cpp:1036):
+            # never drop samples silently.
+            print(
+                f"WARNING: sample capacity exceeded, dropped {overflow} deepest "
+                f"samples (raise n_samples / sample_budget_per_ray / "
+                f"max_steps_per_ray)."
+            )
 
     # -- core shading ----------------------------------------------------
 

@@ -312,9 +312,18 @@ class Renderer:
 
         out = {}
         for name in outs[0]:
+            if name.startswith("_"):
+                # Diagnostic scalars (e.g. sample-overflow counts) sum over
+                # chunks instead of reshaping to the ray grid.
+                out[name] = sum(int(o[name]) for o in outs)
+                continue
             v = jnp.concatenate([o[name] for o in outs], 0)[:n]
             out[name] = v.reshape((b, r) + v.shape[1:])
+        self._report_diagnostics(out)
         return out
+
+    def _report_diagnostics(self, out: dict) -> None:
+        pass
 
     def _chunk_fn(self, chunk, composite_bkgd, bkgd_color, training):
         cache_key = (chunk, composite_bkgd, bkgd_color, training)

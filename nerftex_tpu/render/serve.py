@@ -26,7 +26,7 @@ from nerftex_tpu.utils.util import EasyDict
 class RenderSession:
     """Checkpoint-resident instanced renderer answering pose/param queries."""
 
-    def __init__(self, config: dict, height: int = None, width: int = None):
+    def __init__(self, config: dict, height: int = None, width: int = None, warmup: bool = False):
         from nerftex_tpu.utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
@@ -72,6 +72,9 @@ class RenderSession:
 
         self._focal = self.width / np.tan(self.angle / 2) / 2
         self._frame = 0
+        if warmup:
+            self.render([0.47, -0.65, 0.6])
+            self._frame = 0
 
     def render(self, camera_pos, parameters=None, radius=None, look_at=(0, 0, 0.0)):
         """camera_pos: unit-ish direction or absolute position (scaled by
@@ -190,6 +193,8 @@ def main():
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the compile-warming render at startup")
     args = ap.parse_args()
 
     if os.getcwd() not in sys.path:
@@ -197,7 +202,9 @@ def main():
     config_path = args.config[:-3] if args.config.endswith(".py") else args.config
     config = importlib.import_module(config_path.replace("/", ".")).config
 
-    session = RenderSession(config, height=args.height, width=args.width)
+    session = RenderSession(
+        config, height=args.height, width=args.width, warmup=not args.no_warmup
+    )
     print(f"restored: {session.restored_from}")
     server = HTTPServer(("127.0.0.1", args.port), make_handler(session))
     print(f"serving on http://127.0.0.1:{args.port} (/render, /healthz)")
