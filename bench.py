@@ -38,8 +38,12 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from scripts.bench_render import build, ray_data
 
+    # Grid mode (budget=0): dense [R, step_cap] marching grid, no
+    # compaction machinery.  step_cap=256 covers this scene's occupancy
+    # (p100 = 227 steps); any truncation would print an overflow warning.
     renderer = build(
-        render_chunk=8192, ray_block=1024, max_hits=32, budget=160, n_samples=1024
+        render_chunk=8192, ray_block=1024, max_hits=32, budget=0,
+        n_samples=1024, step_cap=256,
     )
     data = ray_data(512, 512)
 

@@ -527,43 +527,192 @@ class DeviceInstancer:
             "overflow": overflow,
         }
 
-    # -- one ray block (dense; test/compat path) --------------------------
+    # -- one ray block (dense grid path) ----------------------------------
 
     def _block(self, rays_o, rays_d, parameters, S, step, key):
+        """Dense [Rb, S] grid: per-ray quantities broadcast instead of being
+        gathered per sample — no compaction machinery at all.  With
+        max_steps_per_ray >= n_samples this is the reference-exact layout;
+        with a smaller cap it trades tail samples (counted in overflow) for
+        proportionally smaller buffers."""
         ds = self.ds
         Rb = rays_o.shape[0]
         P = parameters.shape[-1]
+        S = min(S, self.max_steps_per_ray)
         k_ray, k_sample = jax.random.split(key)
 
         ray = self._per_ray(rays_o, rays_d, parameters, S, step, k_ray)
 
-        ray_idx = jnp.repeat(jnp.arange(Rb, dtype=jnp.int32), S)
-        i_idx = jnp.tile(jnp.arange(S, dtype=jnp.int32), Rb)
-        sample = self._per_sample(
-            ray, rays_o, rays_d, parameters, ray_idx, i_idx, step, k_sample
+        sample = self._per_sample_grid(
+            ray, rays_o, rays_d, parameters, S, step, k_sample
         )
 
         sample_valid = jnp.arange(S)[None, :] < ray["n_steps"][:, None]
         emit = sample_valid[..., None]
         world_dirs = jnp.broadcast_to(rays_d[:, None, :], (Rb, S, 3))
 
-        def rs(x):
-            return x.reshape((Rb, S) + x.shape[1:])
-
         return {
-            "rays_d": jnp.where(emit, rs(sample["dirs"]), world_dirs),
-            "pts": jnp.where(emit, rs(sample["pts"]), 0.0),
-            "t": jnp.where(sample_valid, rs(sample["t"]), 0.0),
+            "rays_d": jnp.where(emit, sample["dirs"], world_dirs),
+            "pts": jnp.where(emit, sample["pts"], 0.0),
+            "t": jnp.where(sample_valid, sample["t"], 0.0),
             "dists": ray["dists"],
             "color_last": ray["color_last"],
             "alpha_last": ray["alpha_last"],
-            "alpha_weight": jnp.where(sample_valid, rs(sample["weight"]), 1.0),
-            "instance_id": jnp.where(sample_valid, rs(sample["instance_id"]), 0).astype(jnp.int32),
+            "alpha_weight": jnp.where(sample_valid, sample["weight"], 1.0),
+            "instance_id": jnp.where(sample_valid, sample["instance_id"], 0).astype(jnp.int32),
             "hit": ray["hit"],
             "parameters": jnp.where(
-                emit, rs(sample["parameters"]), jnp.broadcast_to(parameters[:, None, :], (Rb, S, P))
+                emit, sample["parameters"], jnp.broadcast_to(parameters[:, None, :], (Rb, S, P))
             ),
             "overflow": ray["overflow"],
+        }
+
+    # -- per-sample stage, dense grid form ([Rb, S]; broadcasts, no gathers
+    # of per-ray rows) ----------------------------------------------------
+
+    def _per_sample_grid(self, ray, rays_o, rays_d, parameters, S, step, key):
+        ds = self.ds
+        Rb = rays_o.shape[0]
+        K = ray["tk0"].shape[-1]
+        P = parameters.shape[-1]
+
+        i_grid = jnp.arange(S, dtype=jnp.float32)[None, :]
+        s_arc = i_grid * step + ray["t_offset"][:, None]             # [Rb,S]
+
+        j = jnp.sum(ray["cum_incl"][:, None, :] <= s_arc[..., None], axis=-1)
+        j = jnp.clip(j, 0, 2 * K - 1)
+        t_mu = (
+            jnp.take_along_axis(ray["times_s"], j, -1)
+            + s_arc
+            - jnp.take_along_axis(ray["cum_excl"], j, -1)
+        )
+        t_pt = mean_distance(t_mu, step) if ds.use_mean_distance else t_mu
+
+        pts_w = rays_o[:, None, :] + rays_d[:, None, :] * t_pt[..., None]  # [Rb,S,3]
+
+        # overlap resolution -------------------------------------------
+        tk0 = ray["tk0"][:, None, :]                                 # [Rb,1,K]
+        tk1 = ray["tk1"][:, None, :]
+        kvalid = ray["kvalid"][:, None, :]
+        active = kvalid & (tk0 <= t_pt[..., None]) & (t_pt[..., None] < tk1)
+        n_active = jnp.sum(active, -1)
+        iv_dist = jnp.maximum(tk0 - t_pt[..., None], t_pt[..., None] - tk1)
+        iv_dist = jnp.where(kvalid, jnp.maximum(iv_dist, 0.0), jnp.inf)
+        fallback_k = jnp.argmin(iv_dist, -1)
+        active = jnp.where(
+            (n_active == 0)[..., None], jax.nn.one_hot(fallback_k, K, dtype=bool), active
+        )
+        n_active = jnp.maximum(n_active, 1)
+
+        u_sel = jax.random.uniform(key, (Rb, S))
+        method = ds.instance_sampling_method
+        if method == "random":
+            target = jnp.minimum(jnp.floor(u_sel * n_active).astype(jnp.int32), n_active - 1)
+            rank = jnp.cumsum(active, -1) - 1
+            sel_k = jnp.argmax(active & (rank == target[..., None]), -1)
+            weight = n_active.astype(jnp.float32)
+        else:
+            d2_k = (
+                ray["sel_a"][:, None, :]
+                + 2.0 * t_pt[..., None] * ray["sel_b"][:, None, :]
+                + (t_pt * t_pt)[..., None]
+            )
+            d2_k = jnp.where(active, jnp.maximum(d2_k, 0.0), jnp.inf)
+            if method == "nearest":
+                sel_k = jnp.argmin(d2_k, -1)
+                weight = jnp.ones((Rb, S), jnp.float32)
+            elif method == "nearest_blend":
+                dist_k = jnp.where(active, jnp.sqrt(d2_k), jnp.inf)
+                min_d = jnp.min(dist_k, -1, keepdims=True)
+                w = jnp.where(active, jnp.maximum(ds.nearest_blend_range + min_d - dist_k, 0.0), 0.0)
+                prob = w / jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-20)
+                cum = jnp.cumsum(prob, -1)
+                sel_k = jnp.clip(jnp.sum((u_sel[..., None] > cum).astype(jnp.int32), -1), 0, K - 1)
+                p_sel = jnp.take_along_axis(prob, sel_k[..., None], -1)[..., 0]
+                weight = 1.0 / jnp.maximum(p_sel, 1e-20)
+            else:
+                raise ValueError(f"unknown instance_sampling_method {method}")
+        weight = jnp.where(n_active == 1, 1.0, weight)
+
+        inst = jnp.take_along_axis(ray["inst_idx"], sel_k, -1)       # [Rb,S]
+
+        # local transforms ---------------------------------------------
+        rot = ds.inv_rot[inst]                                       # [Rb,S,3,3]
+        pts_l = jnp.einsum("rsij,rsj->rsi", rot, pts_w) + ds.inv_trans[inst]
+        if ds.uniform_scale is not None:
+            dinv = rot * ds.uniform_scale
+        else:
+            dinv = ds.dir_inv[inst]
+        dirs_l = jnp.einsum("rsij,rj->rsi", dinv, rays_d)
+
+        # texture parameters -------------------------------------------
+        params_out = jnp.broadcast_to(parameters[:, None, :], (Rb, S, P))
+        uv = None
+        if ds.texture_parameter_idxs:
+            if self.texture_lookup == "jacobian" and ds.anchor_uv is not None:
+                a_uv = ds.anchor_uv[inst]                            # [Rb,S,2]
+                jac = ds.uv_jacobian[inst]                           # [Rb,S,2,3]
+                rel = pts_w - ds.origins[inst]
+                uv = jnp.clip(a_uv + jnp.einsum("rsij,rsj->rsi", jac, rel), 0.0, 1.0)
+            elif ds.tri_candidates is not None:
+                cand = ds.tri_candidates[inst]                       # [Rb,S,Kt]
+                a = ds.tri_v0[cand]
+                e1 = ds.tri_e1[cand]
+                e2 = ds.tri_e2[cand]
+                b = a + e1
+                c = a + e2
+                bary = _closest_point_tri_jnp(pts_w[:, :, None, :], a, b, c)
+                cp = bary[..., 0:1] * a + bary[..., 1:2] * b + bary[..., 2:3] * c
+                d2 = jnp.sum((cp - pts_w[:, :, None, :]) ** 2, -1)
+                best = jnp.argmin(d2, -1)
+                tri_sel = jnp.take_along_axis(cand, best[..., None], -1)[..., 0]
+                bary_sel = jnp.take_along_axis(bary, best[..., None, None], -2)[..., 0, :]
+                uv = jnp.einsum("rsk,rskj->rsj", bary_sel, ds.tri_uv[tri_sel])
+        if uv is not None:
+            for i, slot in enumerate(ds.texture_parameter_idxs):
+                val = _sample_channel_pairs(ds.tex_pairs[i], uv, ds.tex_dims[i])
+                params_out = params_out.at[..., slot].set(params_out[..., slot] * val)
+
+        # lighting ------------------------------------------------------
+        if ray["light_dir_w"] is not None:
+            li = ds.light_dir_idx
+            light = ray["light_dir_w"][:, None, :]                   # [Rb,1,3]
+
+            if ray["shadow_blocked"] is not None:
+                Ssh = ray["shadow_blocked"].shape[-1]
+                bucket = jnp.clip(
+                    jnp.floor(
+                        s_arc / jnp.maximum(ray["total"][:, None], 1e-12) * Ssh
+                    ).astype(jnp.int32),
+                    0, Ssh - 1,
+                )
+                shadowed = jnp.take_along_axis(ray["shadow_blocked"], bucket, -1)
+            else:
+                shadowed = jnp.zeros((Rb, S), bool)
+
+            if ds.light_strength_idx >= 0:
+                vec = light - pts_w
+            else:
+                vec = jnp.broadcast_to(light, pts_w.shape)
+            vec_n = vec / jnp.maximum(jnp.linalg.norm(vec, axis=-1, keepdims=True), 1e-12)
+            local_l = jnp.einsum("rsij,rsj->rsi", dinv, vec_n)
+            down = jnp.broadcast_to(jnp.asarray([0, 0, -1.0], jnp.float32), local_l.shape)
+            local_l = jnp.where(shadowed[..., None], down, local_l)
+            params_out = jax.lax.dynamic_update_slice_in_dim(params_out, local_l, li, axis=2)
+
+            if ds.light_strength_idx >= 0:
+                eps = 1e-6
+                d2l = jnp.sum((light - pts_w) ** 2, -1)
+                strength = parameters[:, ds.light_strength_idx][:, None] / (4 * jnp.pi * d2l + eps)
+                params_out = params_out.at[..., ds.light_strength_idx].set(strength)
+
+        return {
+            "pts": pts_l,
+            "dirs": dirs_l,
+            "parameters": params_out,
+            "t": t_mu,
+            "weight": weight,
+            "instance_id": inst.astype(jnp.int32),
         }
 
     # -- per-ray stage ----------------------------------------------------

@@ -34,6 +34,7 @@ class Instancer:
         max_hits: int = 64,
         ray_block: int = 256,
         shadow_samples: int = 32,
+        max_steps_per_ray: int = 512,
         seed: int = 0,
     ):
         self.scene = Scene(
@@ -63,7 +64,12 @@ class Instancer:
             self.scene.add_mesh(aux_mesh_path, aux_texture_path)
 
         self.device = DeviceInstancer(
-            self.scene, max_hits=max_hits, ray_block=ray_block, shadow_samples=shadow_samples, seed=seed
+            self.scene,
+            max_hits=max_hits,
+            ray_block=ray_block,
+            shadow_samples=shadow_samples,
+            max_steps_per_ray=max_steps_per_ray,
+            seed=seed,
         )
 
     def n_instances(self) -> int:

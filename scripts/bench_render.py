@@ -5,7 +5,7 @@ enable_compilation_cache()
 from nerftex_tpu.utils import util, rng
 from nerftex_tpu.utils.util import EasyDict
 
-def build(render_chunk=8192, ray_block=256, max_hits=64, budget=160, n_samples=1024, compute_dtype="float32", fused_mlp=False):
+def build(render_chunk=8192, ray_block=256, max_hits=64, budget=160, n_samples=1024, compute_dtype="float32", fused_mlp=False, step_cap=512):
     rng.set_seed(0)
     import nerftex_tpu.models.mlp as mlp_mod
     mlp_mod._INIT_COUNTER[0] = 0
@@ -32,6 +32,7 @@ def build(render_chunk=8192, ray_block=256, max_hits=64, budget=160, n_samples=1
             "patch_scale": 0.09, "jitter_amount": 1.0,
             "instance_sampling_method": "nearest",
             "max_hits": max_hits, "ray_block": ray_block,
+            "max_steps_per_ray": step_cap,
         }, **models}))
 
 def ray_data(h=512, w=512):
@@ -59,8 +60,9 @@ if __name__ == "__main__":
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--fused-mlp", action="store_true")
+    ap.add_argument("--step-cap", type=int, default=512)
     args = ap.parse_args()
-    renderer = build(args.chunk, args.block, args.max_hits, args.budget, args.n_samples, args.dtype, args.fused_mlp)
+    renderer = build(args.chunk, args.block, args.max_hits, args.budget, args.n_samples, args.dtype, args.fused_mlp, args.step_cap)
     data = ray_data(args.size, args.size)
     t0 = time.perf_counter()
     out = renderer(**data, training=False, key=jax.random.key(0))
