@@ -581,11 +581,7 @@ class DeviceInstancer:
 
         j = jnp.sum(ray["cum_incl"][:, None, :] <= s_arc[..., None], axis=-1)
         j = jnp.clip(j, 0, 2 * K - 1)
-        t_mu = (
-            jnp.take_along_axis(ray["times_s"], j, -1)
-            + s_arc
-            - jnp.take_along_axis(ray["cum_excl"], j, -1)
-        )
+        t_mu = s_arc + jnp.take_along_axis(ray["arc_corr"], j, -1)
         t_pt = mean_distance(t_mu, step) if ds.use_mean_distance else t_mu
 
         pts_w = rays_o[:, None, :] + rays_d[:, None, :] * t_pt[..., None]  # [Rb,S,3]
@@ -795,6 +791,9 @@ class DeviceInstancer:
         cum_incl = jnp.cumsum(seg_len, -1)                           # [Rb,2K]
         cum_excl = cum_incl - seg_len
         total = cum_incl[:, -1]
+        # Arc -> world-t correction per event gap: t = s + corr[j]
+        # (one gather instead of two at sample time).
+        arc_corr = jnp.where(finite_t, times_s - cum_excl, 0.0)
 
         # 5. per-ray sample layout --------------------------------------
         u_off = jax.random.uniform(key, (Rb,))
@@ -839,6 +838,7 @@ class DeviceInstancer:
             "tk0": tk0, "tk1": tk1, "inst_idx": inst_idx, "kvalid": kvalid,
             "sel_a": sel_a, "sel_b": sel_b,
             "times_s": times_s, "cum_incl": cum_incl, "cum_excl": cum_excl,
+            "arc_corr": arc_corr,
             "total": total, "n_steps": n_steps, "t_offset": t_offset, "tiny": tiny,
             "dists": dists, "color_last": color_last, "alpha_last": alpha_last,
             "hit": hit, "overflow": overflow,
@@ -858,11 +858,7 @@ class DeviceInstancer:
         cum_incl = ray["cum_incl"][ray_idx]                          # [M,2K]
         j = jnp.sum(cum_incl <= s_arc[:, None], axis=-1)
         j = jnp.clip(j, 0, 2 * K - 1)
-        t_mu = (
-            jnp.take_along_axis(ray["times_s"][ray_idx], j[:, None], -1)[:, 0]
-            + s_arc
-            - jnp.take_along_axis(ray["cum_excl"][ray_idx], j[:, None], -1)[:, 0]
-        )
+        t_mu = s_arc + jnp.take_along_axis(ray["arc_corr"][ray_idx], j[:, None], -1)[:, 0]
         t_pt = mean_distance(t_mu, step) if ds.use_mean_distance else t_mu
 
         o_g = rays_o[ray_idx]
