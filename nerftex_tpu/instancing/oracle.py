@@ -17,7 +17,7 @@ reference are deliberate and documented:
 
 import numpy as np
 
-from nerftex_tpu.instancing.scene import Scene, closest_point_on_mesh, sample_texture
+from nerftex_tpu.instancing.scene import Scene, sample_texture
 from nerftex_tpu.ops.volume import mean_distance
 
 T_FAR = 100.0

@@ -33,7 +33,6 @@ class SceneMesh:
 def load_texture_channels(path: str):
     """PNG -> per-channel [W, H] arrays with v=0 at the bottom, matching the
     reference's stb load + rowwise reverse (instancer.cpp:34-50)."""
-    from nerftex_tpu.utils.image import read_image
     from PIL import Image
 
     img = Image.open(path)

@@ -13,8 +13,6 @@ Usage: `fuse_model(model)` swaps a Model's apply for the fused kernel
 (inference only — training keeps the jax-native differentiable apply).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

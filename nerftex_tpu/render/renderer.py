@@ -15,14 +15,11 @@ renderer.py:356-473 (MipRenderer):
 Instanced renderers live in nerftex_tpu/render/instance_renderer.py.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
 from nerftex_tpu.ops import volume
 from nerftex_tpu.utils import rng
-from nerftex_tpu.utils.util import EasyDict
 
 
 def _round_up(x: int, m: int) -> int:

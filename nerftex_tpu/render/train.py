@@ -8,8 +8,6 @@ nerftex_tpu/parallel).  LR schedule matches keras ExponentialDecay(lrate,
 lrate_decay*1e3, 0.1) (train.py:49-52); Adam uses eps=1e-7 like keras.
 """
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
