@@ -136,6 +136,43 @@ def test_device_nearest_blend_weights():
     assert np.all(w >= 1.0 - 1e-5)  # 1/p >= 1
 
 
+def test_device_use_mean_distance():
+    """use_mean_distance applies the cone mean-distance correction
+    (instancer.cpp:746-748, 874-878) to sample t (points shift along the ray)
+    while leaving the arc structure (dists) untouched."""
+    step = 0.05
+    outs = {}
+    for flag in (False, True):
+        scene = _simple_scene(use_mean_distance=flag)
+        scene.add_instance(np.eye(4, dtype=np.float32))
+        dev = DeviceInstancer(scene, max_hits=4, ray_block=4)
+        rays_o, rays_d = _down_rays(4)
+        outs[flag] = {k: np.asarray(v) for k, v in dev.get_model_input(
+            rays_o, rays_d, np.zeros((4, 0), np.float32), 64, step,
+            key=jax.random.PRNGKey(7)).items()}
+
+    base, corr = outs[False], outs[True]
+    # The reference stores the *uncorrected* t_mu in the t buffer and only
+    # shifts the sample point (instancer.cpp:880-886): t and dists unchanged.
+    np.testing.assert_allclose(base["dists"], corr["dists"], atol=1e-6)
+    np.testing.assert_allclose(base["t"], corr["t"], atol=1e-6)
+    valid = base["dists"] > 0
+    mu = base["t"][valid]
+    t_pt = mu + 2 * mu * step**2 / (3 * mu**2 + step**2)
+    # Identity instance + straight-down rays: local z = o_z - t_pt.
+    rays_o, _ = _down_rays(4)
+    o_z = np.broadcast_to(rays_o[:, None, 2], base["t"].shape)[valid]
+    np.testing.assert_allclose(corr["pts"][valid][:, 2], o_z - t_pt, rtol=1e-4)
+    np.testing.assert_allclose(base["pts"][valid][:, 2], o_z - mu, rtol=1e-4)
+
+    # Oracle agrees on the corrected spacing structure.
+    scene = _simple_scene(use_mean_distance=True)
+    scene.add_instance(np.eye(4, dtype=np.float32))
+    rays_o, rays_d = _down_rays(4)
+    _compare(scene, rays_o, rays_d, np.zeros((4, 0), np.float32), 64, step,
+             atol=2e-3)
+
+
 def test_device_mesh_terminator(assets):
     from nerftex_tpu.instancing.scene import SceneMesh
 
