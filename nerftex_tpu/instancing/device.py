@@ -102,8 +102,10 @@ class DeviceScene:
             self.uv_jacobian = None
 
         # Parameter texture channels, padded to a common [C, W, H] and also
-        # packed as vertical pairs [C, W, H, 2] (pair[x,y] = (c[x,y],
-        # c[x,y+1])) so a bilinear fetch needs 2 row gathers instead of 4.
+        # quad-packed [C, W, H, 4] (quad[x,y] = the 4 bilinear corners
+        # (c[x,y], c[x,y+1], c[x+1,y], c[x+1,y+1])) so a bilinear fetch is
+        # ONE row gather — scattered row gathers are the expensive primitive
+        # on TPU, so corner count per row is free but row count is not.
         if scene.texture_channels:
             w = max(c.shape[0] for c in scene.texture_channels)
             h = max(c.shape[1] for c in scene.texture_channels)
@@ -113,11 +115,14 @@ class DeviceScene:
                 stack[i, : c.shape[0], : c.shape[1]] = c
                 self.tex_dims.append((c.shape[0], c.shape[1]))
             self.tex_channels = jnp.asarray(stack)
-            pairs = np.stack([stack, np.concatenate([stack[:, :, 1:], stack[:, :, -1:]], -1)], -1)
-            self.tex_pairs = jnp.asarray(pairs)  # [C, W, H, 2]
+            right = np.concatenate([stack[:, 1:, :], stack[:, -1:, :]], 1)
+            down = np.concatenate([stack[:, :, 1:], stack[:, :, -1:]], -1)
+            right_down = np.concatenate([right[:, :, 1:], right[:, :, -1:]], -1)
+            quads = np.stack([stack, down, right, right_down], -1)
+            self.tex_quads = jnp.asarray(quads)  # [C, W, H, 4]
         else:
             self.tex_channels = None
-            self.tex_pairs = None
+            self.tex_quads = None
             self.tex_dims = []
 
         # Aux albedo textures as [M, W, H, 3] (gray -> replicated), mesh_id
@@ -228,6 +233,25 @@ def _closest_point_tri_jnp(p, a, b, c):
     return bary
 
 
+def _onehot_pick(oh, vals):
+    """Exact one-hot row selection: oh [R,S,K] bool (exactly one true per
+    [r,s]), vals [R,K,D] -> [R,S,D].
+
+    Equivalent to vals[r, k*, :] with k* the true index, but lowered as a
+    fused compare/select/reduce instead of a scattered gather — on TPU the
+    per-sample take_along_axis/gather runs ~µs/row while this streams at
+    VPU rate.  Summing exactly one nonzero f32 term is bit-exact (x + 0 == x
+    in IEEE), so results match the gather form exactly."""
+    return jnp.sum(jnp.where(oh[..., None], vals[:, None, :, :], 0), axis=2)
+
+
+def _onehot_pick1(oh, vals):
+    """Scalar variant: oh [R,S,K] bool, vals [R,K] (or [R,S,K]) -> [R,S]."""
+    if vals.ndim == oh.ndim:
+        return jnp.sum(jnp.where(oh, vals, 0), axis=-1)
+    return jnp.sum(jnp.where(oh, vals[:, None, :], 0), axis=-1)
+
+
 def _moller_trumbore(o, d, v0, e1, e2, t_max=T_FAR):
     """First-hit over a triangle chunk.  o,d [R,3]; v0/e1/e2 [T,3].
     Returns (t [R,T], u, v) with inf where missed.
@@ -263,8 +287,9 @@ def _moller_trumbore(o, d, v0, e1, e2, t_max=T_FAR):
     return jnp.where(ok, t, jnp.inf), u, v
 
 
-def _sample_channel_pairs(pairs, uv, dims):
-    """Bilinear fetch via 2 vertical-pair row gathers.  pairs [W,H,2]."""
+def _sample_channel_quads(quads, uv, dims):
+    """Bilinear fetch via ONE quad-packed row gather.  quads [W,H,4] holds
+    the 4 corners (c[x,y], c[x,y+1], c[x+1,y], c[x+1,y+1]) at [x,y]."""
     w, h = dims
     x = jnp.clip(uv[..., 0], 0, 1) * (w - 1)
     y = jnp.clip(uv[..., 1], 0, 1) * (h - 1)
@@ -272,11 +297,9 @@ def _sample_channel_pairs(pairs, uv, dims):
     y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, max(h - 2, 0))
     fx = x - x0
     fy = y - y0
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    p0 = pairs[x0, y0]                                   # [..., 2]
-    p1 = pairs[x1, y0]
-    c0 = p0[..., 0] * (1 - fy) + p0[..., 1] * fy
-    c1 = p1[..., 0] * (1 - fy) + p1[..., 1] * fy
+    q = quads[x0, y0]                                    # [..., 4]
+    c0 = q[..., 0] * (1 - fy) + q[..., 1] * fy
+    c1 = q[..., 2] * (1 - fy) + q[..., 3] * fy
     return c0 * (1 - fx) + c1 * fx
 
 
@@ -581,7 +604,8 @@ class DeviceInstancer:
 
         j = jnp.sum(ray["cum_incl"][:, None, :] <= s_arc[..., None], axis=-1)
         j = jnp.clip(j, 0, 2 * K - 1)
-        t_mu = s_arc + jnp.take_along_axis(ray["arc_corr"], j, -1)
+        oh_j = j[..., None] == jnp.arange(2 * K)[None, None, :]
+        t_mu = s_arc + _onehot_pick1(oh_j, ray["arc_corr"])
         t_pt = mean_distance(t_mu, step) if ds.use_mean_distance else t_mu
 
         pts_w = rays_o[:, None, :] + rays_d[:, None, :] * t_pt[..., None]  # [Rb,S,3]
@@ -624,31 +648,59 @@ class DeviceInstancer:
                 prob = w / jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-20)
                 cum = jnp.cumsum(prob, -1)
                 sel_k = jnp.clip(jnp.sum((u_sel[..., None] > cum).astype(jnp.int32), -1), 0, K - 1)
-                p_sel = jnp.take_along_axis(prob, sel_k[..., None], -1)[..., 0]
-                weight = 1.0 / jnp.maximum(p_sel, 1e-20)
             else:
                 raise ValueError(f"unknown instance_sampling_method {method}")
+
+        # One one-hot over the K hit slots drives every per-sample lookup
+        # below — hit-level tables ([Rb,K,*], gathered once per ray block)
+        # replace the [Rb,S]-granularity scattered gathers, which dominated
+        # the profile (~µs/row on TPU).
+        oh = sel_k[..., None] == jnp.arange(K)[None, None, :]        # [Rb,S,K]
+
+        if method == "nearest_blend":
+            p_sel = _onehot_pick1(oh, prob)
+            weight = 1.0 / jnp.maximum(p_sel, 1e-20)
         weight = jnp.where(n_active == 1, 1.0, weight)
 
-        inst = jnp.take_along_axis(ray["inst_idx"], sel_k, -1)       # [Rb,S]
+        inst_h = ray["inst_idx"]                                     # [Rb,K]
+        inst = _onehot_pick1(oh, inst_h)                             # [Rb,S]
+
+        use_jac = (
+            ds.texture_parameter_idxs
+            and self.texture_lookup == "jacobian"
+            and ds.anchor_uv is not None
+        )
+        cols = [ds.inv_rot[inst_h].reshape(Rb, K, 9), ds.inv_trans[inst_h]]
+        if ds.uniform_scale is None:
+            cols.append(ds.dir_inv[inst_h].reshape(Rb, K, 9))
+        if use_jac:
+            cols += [
+                ds.anchor_uv[inst_h],
+                ds.uv_jacobian[inst_h].reshape(Rb, K, 6),
+                ds.origins[inst_h],
+            ]
+        table = jnp.concatenate(cols, -1)                            # [Rb,K,D]
+        vals = _onehot_pick(oh, table)                               # [Rb,S,D]
 
         # local transforms ---------------------------------------------
-        rot = ds.inv_rot[inst]                                       # [Rb,S,3,3]
-        pts_l = jnp.einsum("rsij,rsj->rsi", rot, pts_w) + ds.inv_trans[inst]
+        rot = vals[..., 0:9].reshape(Rb, S, 3, 3)
+        pts_l = jnp.einsum("rsij,rsj->rsi", rot, pts_w) + vals[..., 9:12]
+        d0 = 12
         if ds.uniform_scale is not None:
             dinv = rot * ds.uniform_scale
         else:
-            dinv = ds.dir_inv[inst]
+            dinv = vals[..., d0:d0 + 9].reshape(Rb, S, 3, 3)
+            d0 += 9
         dirs_l = jnp.einsum("rsij,rj->rsi", dinv, rays_d)
 
         # texture parameters -------------------------------------------
         params_out = jnp.broadcast_to(parameters[:, None, :], (Rb, S, P))
         uv = None
         if ds.texture_parameter_idxs:
-            if self.texture_lookup == "jacobian" and ds.anchor_uv is not None:
-                a_uv = ds.anchor_uv[inst]                            # [Rb,S,2]
-                jac = ds.uv_jacobian[inst]                           # [Rb,S,2,3]
-                rel = pts_w - ds.origins[inst]
+            if use_jac:
+                a_uv = vals[..., d0:d0 + 2]                          # [Rb,S,2]
+                jac = vals[..., d0 + 2:d0 + 8].reshape(Rb, S, 2, 3)
+                rel = pts_w - vals[..., d0 + 8:d0 + 11]
                 uv = jnp.clip(a_uv + jnp.einsum("rsij,rsj->rsi", jac, rel), 0.0, 1.0)
             elif ds.tri_candidates is not None:
                 cand = ds.tri_candidates[inst]                       # [Rb,S,Kt]
@@ -666,7 +718,7 @@ class DeviceInstancer:
                 uv = jnp.einsum("rsk,rskj->rsj", bary_sel, ds.tri_uv[tri_sel])
         if uv is not None:
             for i, slot in enumerate(ds.texture_parameter_idxs):
-                val = _sample_channel_pairs(ds.tex_pairs[i], uv, ds.tex_dims[i])
+                val = _sample_channel_quads(ds.tex_quads[i], uv, ds.tex_dims[i])
                 params_out = params_out.at[..., slot].set(params_out[..., slot] * val)
 
         # lighting ------------------------------------------------------
@@ -682,7 +734,8 @@ class DeviceInstancer:
                     ).astype(jnp.int32),
                     0, Ssh - 1,
                 )
-                shadowed = jnp.take_along_axis(ray["shadow_blocked"], bucket, -1)
+                oh_b = bucket[..., None] == jnp.arange(Ssh)[None, None, :]
+                shadowed = jnp.any(oh_b & ray["shadow_blocked"][:, None, :], -1)
             else:
                 shadowed = jnp.zeros((Rb, S), bool)
 
@@ -947,7 +1000,7 @@ class DeviceInstancer:
                 uv = jnp.einsum("mk,mkj->mj", bary_sel, ds.tri_uv[tri_sel])
         if uv is not None:
             for i, slot in enumerate(ds.texture_parameter_idxs):
-                val = _sample_channel_pairs(ds.tex_pairs[i], uv, ds.tex_dims[i])
+                val = _sample_channel_quads(ds.tex_quads[i], uv, ds.tex_dims[i])
                 params_out = params_out.at[:, slot].set(params_out[:, slot] * val)
 
         # lighting -------------------------------------------------------

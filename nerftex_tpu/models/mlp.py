@@ -47,6 +47,26 @@ def _dense(p, x, compute_dtype):
     return jnp.dot(x.astype(compute_dtype), w, preferred_element_type=compute_dtype) + b
 
 
+def _dense_cat(p, xs, compute_dtype):
+    """dense(concat(xs, -1)) without materializing the concatenation:
+    splits the kernel by rows and sums the partial products.  The wide
+    activation concats ([N, width + pos_dim] skip joins etc.) otherwise
+    dominate HBM traffic in the render loop — on TPU they showed up as the
+    top ops inside the MLP while-loop.  Mathematically identical; float
+    summation order differs from the concat form by ~1 ulp."""
+    w = p["w"].astype(compute_dtype)
+    out = p["b"].astype(compute_dtype)
+    off = 0
+    for x in xs:
+        d = x.shape[-1]
+        out = out + jnp.dot(
+            x.astype(compute_dtype), w[off:off + d], preferred_element_type=compute_dtype
+        )
+        off += d
+    assert off == w.shape[0], (off, w.shape)
+    return out
+
+
 class Model:
     """Pure-pytree model wrapper: params + static apply.
 
@@ -118,15 +138,15 @@ def Nerf(
         pos_map = pos_fm(pos).astype(cdt)
         dir_map = dir_fm(dirs).astype(cdt)
 
-        h = pos_map
+        # Wide concats (skip join, direction join) stay virtual: each
+        # consumer dense runs as split partial matmuls (_dense_cat).
+        parts = [pos_map]
         for i in range(depth):
-            h = jax.nn.relu(_dense(p["trunk"][i], h, cdt))
-            if i in skips:
-                h = jnp.concatenate([pos_map, h], -1)
-        density = _dense(p["alpha"], h, cdt)
-        h = _dense(p["bottleneck"], h, cdt)
-        h = jnp.concatenate([dir_map, h], -1)
-        h = jax.nn.relu(_dense(p["pre_color"], h, cdt))
+            h = jax.nn.relu(_dense_cat(p["trunk"][i], parts, cdt))
+            parts = [pos_map, h] if i in skips else [h]
+        density = _dense_cat(p["alpha"], parts, cdt)
+        h = _dense_cat(p["bottleneck"], parts, cdt)
+        h = jax.nn.relu(_dense_cat(p["pre_color"], [dir_map, h], cdt))
         color = _dense(p["color"], h, cdt)
         return color.astype(jnp.float32), density.astype(jnp.float32)
 
@@ -214,36 +234,41 @@ def ParamNerf(
     params["color"] = _dense_init(next(keys), width // 2, 3)
 
     def apply(p, pos, dirs, prms):
-        pos_map = pos_fm(pos).astype(cdt)
-        dir_map = dir_fm(dirs).astype(cdt)
+        # Feature groups are kept separate and every consumer dense runs as
+        # split partial matmuls over them (_dense_cat): the reference's
+        # concat-then-dense layers (model.py:88-104) are mathematically
+        # identical, but materializing [N, 300+]-wide activation concats was
+        # the top HBM cost inside the render MLP loop on TPU.
+        pos_parts = [pos_fm(pos).astype(cdt)]
+        dir_parts = [dir_fm(dirs).astype(cdt)]
 
         if extra_fm is not None:
             emb_in = jnp.concatenate([pos, prms], -1) if include_param_dims else pos
-            pos_map = jnp.concatenate([pos_map, extra_fm(emb_in).astype(cdt)], -1)
+            pos_parts.append(extra_fm(emb_in).astype(cdt))
 
         if n_geo > 0:
             g = param_fm(prms[:, :n_geo]).astype(cdt)
             for layer in p["param_geo"]:
                 g = jax.nn.relu(_dense(layer, g, cdt))
-            pos_map = jnp.concatenate([pos_map, g], -1)
+            pos_parts.append(g)
 
         if n_app > 0:
             a = param_fm(prms[:, n_geo:]).astype(cdt)
             for layer in p["param_app"]:
                 a = jax.nn.relu(_dense(layer, a, cdt))
-            dir_map = jnp.concatenate([dir_map, a], -1)
+            dir_parts.append(a)
 
-        h = pos_map
+        parts = list(pos_parts)
         for i in range(depth):
-            h = jax.nn.relu(_dense(p["trunk"][i], h, cdt))
-            if i in skips:
-                h = jnp.concatenate([pos_map, h], -1)
-        density = _dense(p["alpha"], h, cdt)
-        h = _dense(p["bottleneck"], h, cdt)
-        h = jnp.concatenate([dir_map, h], -1)
+            h = jax.nn.relu(_dense_cat(p["trunk"][i], parts, cdt))
+            parts = pos_parts + [h] if i in skips else [h]
+        density = _dense_cat(p["alpha"], parts, cdt)
+        h = _dense_cat(p["bottleneck"], parts, cdt)
+        parts = dir_parts + [h]
         for layer in p["color_layers"]:
-            h = jax.nn.relu(_dense(layer, h, cdt))
-        h = jax.nn.relu(_dense(p["pre_color"], h, cdt))
+            h = jax.nn.relu(_dense_cat(layer, parts, cdt))
+            parts = [h]
+        h = jax.nn.relu(_dense_cat(p["pre_color"], parts, cdt))
         color = _dense(p["color"], h, cdt)
         return color.astype(jnp.float32), density.astype(jnp.float32)
 
