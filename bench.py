@@ -45,7 +45,7 @@ def main():
     # agreement with the f32 path on the trained carpet demo renders —
     # orders of magnitude inside the 0.1 dB parity tolerance.
     renderer = build(
-        render_chunk=8192, ray_block=1024, max_hits=32, budget=0,
+        render_chunk=32768, ray_block=2048, max_hits=32, budget=0,
         n_samples=1024, step_cap=256, compute_dtype="bfloat16",
     )
     data = ray_data(512, 512)
