@@ -1,4 +1,4 @@
-"""Config runtime: attribute dicts + reflection-based instantiation.
+"""Config runtime: reflection-based instantiation + attribute dicts.
 
 The whole framework is driven by nested ``{'module': 'pkg.mod.Attr', **kwargs}``
 dicts, exactly like the reference (util/util.py:8-54).  Configs written for the
@@ -12,6 +12,34 @@ import importlib
 import math
 import subprocess
 
+
+# -- reflection -------------------------------------------------------------
+
+def get_attr_from_module(module_name: str, attr_name: str) -> Any:
+    module = importlib.import_module(module_name)
+    return getattr(module, attr_name)
+
+
+def get_attr_from_path(path: str) -> Any:
+    """Resolve a dotted ``pkg.mod.Attr`` path to the attribute."""
+    module_name, _, attr_name = path.rpartition(".")
+    return get_attr_from_module(module_name, attr_name)
+
+
+def instantiate(config: "EasyDict | dict | None") -> Any:
+    """Instantiate/evaluate the target named by ``config['module']`` with the
+    remaining keys as kwargs (reference util/util.py:44-54)."""
+    if config is None:
+        return None
+
+    args = EasyDict(config)
+    target = args.module
+    del args.module
+
+    return get_attr_from_path(target)(**args)
+
+
+# -- attribute dict ---------------------------------------------------------
 
 class EasyDict(dict):
     """dict subclass with attribute access; recursively wraps nested dicts."""
@@ -37,29 +65,7 @@ class EasyDict(dict):
         del self[key]
 
 
-def get_attr_from_module(module_name: str, attr_name: str) -> Any:
-    module = importlib.import_module(module_name)
-    return getattr(module, attr_name)
-
-
-def get_attr_from_path(path: str) -> Any:
-    """Resolve a dotted ``pkg.mod.Attr`` path to the attribute."""
-    module_name, _, attr_name = path.rpartition(".")
-    return get_attr_from_module(module_name, attr_name)
-
-
-def instantiate(config: "EasyDict | dict | None") -> Any:
-    """Instantiate/evaluate the target named by ``config['module']`` with the
-    remaining keys as kwargs (reference util/util.py:44-54)."""
-    if config is None:
-        return None
-
-    args = EasyDict(config)
-    target = args.module
-    del args.module
-
-    return get_attr_from_path(target)(**args)
-
+# -- misc -------------------------------------------------------------------
 
 def format_name(prefix: str, idx: int, max_idx: int, suffix: str) -> str:
     """Zero-pad ``idx`` wide enough to fit ``max_idx`` (util/util.py:56-62)."""
