@@ -39,7 +39,7 @@ class InstanceRenderer(Renderer):
         density_scale: float = 1,
         density_reweighting: bool = True,
         false_color: bool = False,
-        sample_budget_per_ray: int = 256,
+        sample_budget_per_ray: int = 0,
         **kwargs,
     ) -> None:
         super().__init__(**kwargs)
@@ -54,10 +54,13 @@ class InstanceRenderer(Renderer):
         self.density_scale = density_scale
         self.density_reweighting = density_reweighting
         self.false_color = false_color
-        # Caps the AVERAGE number of per-sample/MLP evaluations per ray in a
-        # chunk (total budget = chunk * this; overflow drops the deepest
-        # samples and is counted).  0 = dense masked evaluation over the full
-        # n_samples grid (reference-exact; slower).
+        # 0 (default) = dense masked grid over min(n_samples,
+        # max_steps_per_ray) marching steps — the fast path on TPU (no
+        # compaction machinery) and reference-exact when the cap covers
+        # n_samples.  >0 caps the AVERAGE per-sample/MLP evaluations per ray
+        # in a chunk (total budget = chunk * this; overflow drops the deepest
+        # samples and is counted) — useful when occupancy is a small fraction
+        # of a very large n_samples and memory is tight.
         self.sample_budget_per_ray = sample_budget_per_ray
         if false_color:
             self.instance_color = jax.random.uniform(
