@@ -14,8 +14,7 @@ keras, net_chunk 32768) divided by the measured mean of 128.5 valid samples
 per ray on this exact scene = 675 rays/s.  This ignores the reference's
 serial per-ray Embree walk entirely (instancer.cpp:772), i.e. it is generous
 to the reference.  The reference's measured *training* rate on this CPU is
-0.0705 steps/s vs 37.3 steps/s here (530x) — see scripts/quality.py and git
-history for that benchmark.
+0.0705 steps/s vs 52.9 steps/s here (750x) — see scripts/bench_train.py.
 """
 
 import json
