@@ -56,6 +56,35 @@ def _compare(scene, rays_o, rays_d, params, n_samples, step, atol=1e-4):
     return out_d, out_o
 
 
+def test_onehot_pick_is_bitwise_exact_gather():
+    """The fused one-hot selection used throughout the grid path must be
+    bitwise identical to the take_along_axis gather it replaces (x + 0 == x
+    in IEEE; exactly one nonzero term per row)."""
+    import jax.numpy as jnp
+    from nerftex_tpu.instancing.device import _onehot_pick, _onehot_pick1
+
+    rs = np.random.RandomState(3)
+    R, S, K, D = 5, 17, 8, 6
+    table = jnp.asarray(rs.randn(R, K, D).astype(np.float32) * 1e3)
+    sel = jnp.asarray(rs.randint(0, K, (R, S)))
+    oh = sel[..., None] == jnp.arange(K)[None, None, :]
+
+    got = np.asarray(_onehot_pick(oh, table))
+    # Reference gather: per (r,s) row sel[r,s] of table[r].
+    want = np.stack([np.asarray(table)[r, np.asarray(sel)[r]] for r in range(R)])
+    np.testing.assert_array_equal(got, want)
+
+    vec = jnp.asarray(rs.randn(R, K).astype(np.float32))
+    got1 = np.asarray(_onehot_pick1(oh, vec))
+    want1 = np.stack([np.asarray(vec)[r, np.asarray(sel)[r]] for r in range(R)])
+    np.testing.assert_array_equal(got1, want1)
+
+    ints = jnp.asarray(rs.randint(-900, 900, (R, K)).astype(np.int32))
+    goti = np.asarray(_onehot_pick1(oh, ints))
+    wanti = np.stack([np.asarray(ints)[r, np.asarray(sel)[r]] for r in range(R)])
+    np.testing.assert_array_equal(goti, wanti)
+
+
 def test_device_matches_oracle_single_box():
     scene = _simple_scene()
     scene.add_instance(np.eye(4, dtype=np.float32))
