@@ -180,3 +180,14 @@ def test_sharded_instanced_render_matches_replicated():
     np.testing.assert_allclose(
         np.asarray(ref["alpha_pred"]), np.asarray(out["alpha_pred"]), atol=1e-5
     )
+
+
+def test_dryrun_multichip_self_provisions_subprocess():
+    """Driver contract: dryrun_multichip must work even when the current
+    process sees fewer than n devices (e.g. the single real TPU chip) by
+    re-execing on a virtual CPU mesh (MULTICHIP_r01 regression)."""
+    import __graft_entry__ as ge
+
+    # Call the subprocess path directly: it must provision 4 virtual CPU
+    # devices in a child process and run the sharded step there.
+    ge._dryrun_in_cpu_subprocess(4)
