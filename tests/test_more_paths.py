@@ -241,3 +241,30 @@ def test_mip_renderer_training_path(tmp_path):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_checkpoint_multihost_single_writer(tmp_path, monkeypatch):
+    """Multi-host discipline (PARITY.md): only process 0 writes checkpoints;
+    other processes return the would-be path without touching disk, and
+    restore_latest still works everywhere."""
+    import jax
+    from nerftex_tpu.render.checkpoint import CheckpointManager
+
+    state = {"w": np.arange(4.0, dtype=np.float32)}
+
+    # Non-zero process: no file may appear.
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
+    path = mgr.save(state, step=10)
+    assert not os.path.exists(path)
+    assert mgr.latest_checkpoint is None
+    assert mgr.restore_latest() is None
+
+    # Process 0: exactly one writer produces the file; everyone can restore.
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    path = mgr.save(state, step=10)
+    assert os.path.exists(path)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    restored = mgr.restore_latest()
+    np.testing.assert_array_equal(restored["w"], state["w"])
+    assert len(mgr.checkpoints()) == 1
