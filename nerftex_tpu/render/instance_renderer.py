@@ -40,6 +40,7 @@ class InstanceRenderer(Renderer):
         density_reweighting: bool = True,
         false_color: bool = False,
         sample_budget_per_ray: int = 0,
+        sorted_blocks: bool = True,
         **kwargs,
     ) -> None:
         super().__init__(**kwargs)
@@ -62,6 +63,10 @@ class InstanceRenderer(Renderer):
         # samples and is counted) — useful when occupancy is a small fraction
         # of a very large n_samples and memory is tight.
         self.sample_budget_per_ray = sample_budget_per_ray
+        # Occupancy-sorted bucketed grid render (device.render_grid_sorted):
+        # per-sample + MLP work scales with actual occupancy instead of the
+        # worst-case grid.  Only used on the grid path (budget == 0).
+        self.sorted_blocks = sorted_blocks
         if false_color:
             self.instance_color = jax.random.uniform(
                 rng.stream_key(rng.STREAM_FALSE_COLOR), (self.instancer.n_instances(), 3)
@@ -96,6 +101,30 @@ class InstanceRenderer(Renderer):
                 params, inst, rays_o, rays_d, parameters, cone_scale, k_noise,
                 composite_bkgd, bkgd_color,
             )
+        elif self.sorted_blocks:
+            def shade_block(inst_block, extra_block, k_shade):
+                (cone_block,) = extra_block
+                return self._shade(
+                    params, inst_block, None, None, None, cone_block, k_shade,
+                    composite_bkgd, bkgd_color,
+                )
+
+            def empty_block(ray_block, extra_block, k_shade):
+                # Zero marching steps: every sample alpha is exactly 0 (the
+                # +1e-10 cumprod guard rounds to 1.0f), so the composite
+                # reduces to the terminator term alpha_last * color_last.
+                color = ray_block["alpha_last"] * ray_block["color_last"][:, 0, :]
+                return color, ray_block["alpha_last"][:, 0]
+
+            (color_map, alpha_map), aux = self.instancer.device.render_grid_sorted(
+                rays_o, rays_d, parameters, self.n_samples, self.step_size,
+                k_inst, shade_block, extra=(cone_scale,), empty_block=empty_block,
+            )
+            inst = {
+                "hit": aux["hit"],
+                "overflow_hits": aux["overflow_hits"],
+                "overflow_steps": aux["overflow_steps"],
+            }
         else:
             inst = self.instancer.get_model_input_dict(
                 rays_o, rays_d, parameters, self.n_samples, self.step_size, key=k_inst
@@ -119,16 +148,27 @@ class InstanceRenderer(Renderer):
         return {
             "color_pred": color_map,
             "alpha_pred": alpha_map,
-            "_overflow": inst["overflow"],
+            "_overflow_hits": inst["overflow_hits"],
+            "_overflow_steps": inst["overflow_steps"],
         }
 
     def _report_diagnostics(self, out: dict) -> None:
-        overflow = out.pop("_overflow", 0)
-        if overflow:
-            # Parity with the reference's buffer warning (instancer.cpp:1036):
-            # never drop samples silently.
+        # Parity with the reference's buffer warning (instancer.cpp:1036):
+        # never drop anything silently.  The two causes are independent:
+        # hit overflow is per-ray instance intervals beyond max_hits (the
+        # farthest are dropped — usually behind ~full accumulated opacity);
+        # step overflow is marching samples beyond the per-ray grid
+        # (max_steps_per_ray / n_samples / sample_budget_per_ray).
+        hits = out.pop("_overflow_hits", 0)
+        steps = out.pop("_overflow_steps", 0)
+        if hits:
             print(
-                f"WARNING: sample capacity exceeded, dropped {overflow} deepest "
+                f"WARNING: hit capacity exceeded, dropped {hits} farthest "
+                f"ray-instance intervals (raise max_hits)."
+            )
+        if steps:
+            print(
+                f"WARNING: sample capacity exceeded, dropped {steps} deepest "
                 f"samples (raise n_samples / sample_budget_per_ray / "
                 f"max_steps_per_ray)."
             )

@@ -5,7 +5,7 @@ enable_compilation_cache()
 from nerftex_tpu.utils import util, rng
 from nerftex_tpu.utils.util import EasyDict
 
-def build(render_chunk=8192, ray_block=256, max_hits=64, budget=160, n_samples=1024, compute_dtype="float32", fused_mlp=False, step_cap=512, net_chunk=65536):
+def build(render_chunk=8192, ray_block=256, max_hits=64, budget=160, n_samples=1024, compute_dtype="float32", fused_mlp=False, step_cap=512, net_chunk=65536, sorted_blocks=True):
     rng.set_seed(0)
     import nerftex_tpu.models.mlp as mlp_mod
     mlp_mod._INIT_COUNTER[0] = 0
@@ -22,6 +22,7 @@ def build(render_chunk=8192, ray_block=256, max_hits=64, budget=160, n_samples=1
         "module": "network.renderer.InstanceRenderer",
         "n_samples": n_samples, "render_chunk": render_chunk, "net_chunk": net_chunk,
         "step_size": 0.002, "sample_budget_per_ray": budget,
+        "sorted_blocks": sorted_blocks,
         "instancer_config": {
             "module": "instancer.instancer.Instancer",
             "b_0": [-1.4, -1.2, -0.1], "b_1": [1.2, 1.2, 1.8],
