@@ -70,12 +70,26 @@ def terrain(n=48, extent=1.0):
     return V, F, vertex_normals(V, F), UV
 
 
-def bunny_blob(n_theta=40, n_phi=40, scale=0.55):
-    """Deformed sphere standing in for the Stanford bunny (LFS stub)."""
+def bunny_blob(n_theta=40, n_phi=40, scale=0.48):
+    """Deformed sphere standing in for the Stanford bunny (LFS stub):
+    body blob plus two ear lobes and a tail bump so the silhouette reads
+    as the bunny in demo renders."""
     thetas = np.linspace(1e-3, np.pi - 1e-3, n_theta)
     phis = np.linspace(0, 2 * np.pi, n_phi, endpoint=False)
     t, p = np.meshgrid(thetas, phis, indexing="ij")
     r = 1.0 + 0.18 * np.sin(3 * t) * np.cos(2 * p) + 0.1 * np.cos(4 * p) * np.sin(2 * t)
+
+    # Ears: two elongated gaussian lobes near the pole, offset in phi.
+    def lobe(t0, p0, st, sp, amp):
+        dp = np.angle(np.exp(1j * (p - p0)))
+        return amp * np.exp(-((t - t0) ** 2) / (2 * st**2) - dp**2 / (2 * sp**2))
+
+    # Amplitudes sized so the ear tips stay inside the plush configs'
+    # instancer box ([-1.1, 1.1]^2 x [-0.2, 1.1]) at scale 0.48.
+    r = r + lobe(0.35, 2.35, 0.2, 0.35, 0.7) + lobe(0.35, 3.95, 0.2, 0.35, 0.7)
+    # Tail bump low on the back.
+    r = r + lobe(2.35, 0.0, 0.25, 0.45, 0.3)
+
     x = r * np.sin(t) * np.cos(p)
     y = r * np.sin(t) * np.sin(p)
     z = r * np.cos(t) * 1.15

@@ -1,0 +1,103 @@
+"""Bench-grade render throughput for any shipped render config.
+
+Builds the scene exactly as `main.py configs/config_<scene>_render.py` would
+(test dataset via GenerateData, model, InstanceRenderer) but times the warm
+fused render directly — one whole-frame device program, inputs staged
+on-device, block-until-ready — instead of going through serving/logger
+(BASELINE.md provenance; VERDICT r1 asked for the grass number to come from
+this kind of harness, not serving frame times).
+
+Usage:
+  PYTHONPATH=$PWD:$PYTHONPATH python scripts/bench_scene.py grass \
+      [--chunk N] [--block N] [--max-hits N] [--step-cap N] [--dtype bfloat16]
+"""
+
+import argparse
+import importlib
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("scene", help="config stem, e.g. grass / plush / carpet")
+    ap.add_argument("--chunk", type=int, default=None, help="render_chunk (default: whole frame)")
+    ap.add_argument("--block", type=int, default=2048)
+    ap.add_argument("--max-hits", type=int, default=None)
+    ap.add_argument("--step-cap", type=int, default=512)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--dense", action="store_true", help="disable sorted-block path")
+    ap.add_argument("--trials", type=int, default=3)
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+
+    from nerftex_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from nerftex_tpu.utils import util, rng
+    from nerftex_tpu.utils.util import EasyDict
+    import nerftex_tpu.models.mlp as mlp_mod
+
+    cfg = EasyDict(importlib.import_module(f"configs.config_{args.scene}_render").config)
+
+    rng.set_seed(cfg.seed)
+    np.random.seed(cfg.seed)
+    mlp_mod._INIT_COUNTER[0] = 0
+
+    ds = util.instantiate(cfg.test_dataset_config)
+    model_config = EasyDict(cfg.model_config)
+    model_config.setdefault("n_parameters", ds.n_parameters)
+    if args.dtype:
+        model_config["compute_dtype"] = args.dtype
+    models = util.instantiate(model_config)
+
+    rcfg = EasyDict(cfg.renderer_config)
+    rcfg.instancer_config = EasyDict(rcfg.instancer_config)
+    rcfg.instancer_config.update({"ray_block": args.block})
+    if args.max_hits is not None:
+        rcfg.instancer_config.update({"max_hits": args.max_hits})
+    rcfg.instancer_config.update({"max_steps_per_ray": args.step_cap})
+    n_rays = ds.height * ds.width
+    rcfg.update(
+        {"render_chunk": args.chunk or n_rays, "sorted_blocks": not args.dense}
+    )
+    rcfg.update(models)
+    renderer = util.instantiate(rcfg)
+
+    data = next(iter(ds))
+    data = {k: jax.device_put(np.asarray(v)) for k, v in data.items()}
+    jax.block_until_ready(list(data.values()))
+    print(
+        f"{args.scene}: {ds.height}x{ds.width}, n_samples {rcfg.n_samples}, "
+        f"step {renderer.step_size}, cap {args.step_cap}, "
+        f"max_hits {renderer.instancer.device.max_hits}, "
+        f"shadows {renderer.instancer.scene.cast_shadow_rays}",
+        flush=True,
+    )
+
+    t0 = time.perf_counter()
+    out = renderer(**data, training=False, key=jax.random.key(0))
+    jax.block_until_ready(out["color_pred"])
+    print(f"first render (incl compile): {time.perf_counter()-t0:.1f}s", flush=True)
+
+    best = float("inf")
+    for trial in range(args.trials):
+        t0 = time.perf_counter()
+        out = renderer(**data, training=False, key=jax.random.key(1))
+        jax.block_until_ready(out["color_pred"])
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        print(f"warm render: {dt:.2f}s -> {n_rays/dt:.0f} rays/s", flush=True)
+
+    a = np.asarray(out["alpha_pred"])
+    print(
+        f"best: {best:.3f}s -> {n_rays/best:.0f} rays/s | alpha mean {a.mean():.3f} "
+        f"frac>0.1 {(a > 0.1).mean():.3f}",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
