@@ -78,8 +78,10 @@ def render_swatch(pose, params, n_geo, size, angle, b_0, b_1, n_steps=192):
     rgb = (w[..., None] * color).sum(1)
     a = w.sum(1)
     rgba = np.concatenate([rgb, a[:, None]], -1).reshape(size, size, 4)
-    rgba[..., :3] = np.divide(
-        rgba[..., :3], np.maximum(rgba[..., 3:], 1e-5), where=rgba[..., 3:] > 1e-5
+    # np.divide(..., where=...) without out= leaves garbage in masked entries;
+    # zero the un-premultiplied color wherever alpha vanishes instead.
+    rgba[..., :3] = np.where(
+        rgba[..., 3:] > 1e-5, rgba[..., :3] / np.maximum(rgba[..., 3:], 1e-5), 0.0
     )
     return np.clip(rgba, 0, 1)
 
