@@ -26,7 +26,17 @@ from nerftex_tpu.utils.util import EasyDict
 class RenderSession:
     """Checkpoint-resident instanced renderer answering pose/param queries."""
 
-    def __init__(self, config: dict, height: int = None, width: int = None, warmup: bool = False):
+    def __init__(
+        self,
+        config: dict,
+        height: int = None,
+        width: int = None,
+        warmup: bool = False,
+        render_chunk: int = None,
+    ):
+        """render_chunk: rays per device dispatch; defaults to the whole
+        frame (one fused program — the config's small training-era chunks
+        cost a round-trip per chunk over the device tunnel)."""
         from nerftex_tpu.utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
@@ -55,6 +65,8 @@ class RenderSession:
         renderer_config = EasyDict(config.renderer_config)
         renderer_config.update(self.models)
         self.renderer = util.instantiate(renderer_config)
+        self.renderer.render_chunk = render_chunk or self.height * self.width
+        self._raygen_cache = {}
 
         # Restore the latest checkpoint (model weights only, like
         # render-mode Logger, logger.py:37).
@@ -80,7 +92,6 @@ class RenderSession:
         """camera_pos: unit-ish direction or absolute position (scaled by
         radius when given).  Returns float32 [H, W, 4] straight-alpha RGBA."""
         from nerftex_tpu.data.dataset import look_at_np
-        from nerftex_tpu.data.ray_sampler import rays_from_camera_np
 
         pos = np.asarray(camera_pos, np.float64)
         if radius is not None:
@@ -94,11 +105,11 @@ class RenderSession:
         parameters = np.asarray(parameters, np.float32)
 
         h, w = self.height, self.width
-        idx = np.arange(h * w)
-        loc = np.stack([idx // w, idx % w], -1).astype(np.float32)
-        rays_o, rays_d, cone = rays_from_camera_np(loc, h, w, self._focal, pose)
-        rays_d = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
-        t = self.proxy.intersect_np(rays_o, rays_d)
+        # Per-frame host->device traffic is just the 4x4 pose + parameters:
+        # pixel rays, normalization and the proxy slab test run on device
+        # (the tunnel's per-frame transfer of ~9 MB of ray arrays dominated
+        # serving latency before).
+        rays_o, rays_d, t, cone = self._device_rays(pose)
 
         self._frame += 1
         out = self.renderer(
@@ -118,6 +129,31 @@ class RenderSession:
         ).reshape(h, w, 4)
         img[..., :3] = img[..., :3] / (img[..., 3:] + 1e-5)
         return np.clip(img, 0, 1)
+
+    def _device_rays(self, pose):
+        """Whole-frame pixel rays + proxy intersection as one cached device
+        program of the pose (ops/rays.rays_from_camera + the jnp AABB)."""
+        import jax
+        import jax.numpy as jnp
+
+        from nerftex_tpu.ops.rays import rays_from_camera
+
+        h, w = self.height, self.width
+        if (h, w) not in self._raygen_cache:
+            idx = np.arange(h * w)
+            loc = jnp.asarray(np.stack([idx // w, idx % w], -1), jnp.float32)
+            focal = self._focal
+            proxy = self.proxy
+
+            @jax.jit
+            def gen(pose):
+                rays_o, rays_d, cone = rays_from_camera(loc, h, w, focal, pose)
+                rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+                t = proxy(rays_o, rays_d)
+                return rays_o, rays_d, t, cone
+
+            self._raygen_cache[(h, w)] = gen
+        return self._raygen_cache[(h, w)](jnp.asarray(pose, jnp.float32))
 
 
 # ---------------------------------------------------------------------------

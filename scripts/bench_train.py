@@ -20,6 +20,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--k", type=int, default=50, help="steps fused per device program")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--dtype", default="float32",
+        help="model compute dtype (bfloat16 = mixed precision: bf16 matmuls/"
+             "activations, f32 master params + Adam state)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -42,7 +47,7 @@ def main():
         "pos_embedding": {"module": "network.model.FourierFeatures", "n_freq_bands": 10},
         "dir_embedding": {"module": "network.model.FourierFeatures", "n_freq_bands": 4},
         "param_embedding": {"module": "network.model.FourierFeatures", "n_freq_bands": 4},
-        "n_parameters": [1, 6],
+        "n_parameters": [1, 6], "compute_dtype": args.dtype,
     }))
     renderer = util.instantiate(EasyDict({
         "module": "network.renderer.Renderer",
