@@ -58,8 +58,8 @@ def main():
     from scripts.bench_render import build, ray_data
 
     renderer = build(
-        render_chunk=262144, ray_block=2048, max_hits=48, budget=0,
-        n_samples=1024, step_cap=320, compute_dtype="bfloat16",
+        render_chunk=262144, ray_block=1024, max_hits=48, budget=0,
+        n_samples=1024, step_cap=320, compute_dtype="bfloat16", net_chunk=32768,
     )
     data = {k: jax.device_put(v) for k, v in ray_data(512, 512).items()}
     jax.block_until_ready(list(data.values()))
