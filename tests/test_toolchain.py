@@ -160,3 +160,84 @@ def test_blur_pipeline(dataset_dir, tmp_path):
     assert len(t2["frames"]) == 8
     sigmas = [f["driver_parameters"]["Blur"] for f in t2["frames"]]
     assert len(set(np.round(sigmas, 6))) > 1
+
+
+def test_prefiltered_chain_end_to_end(tmp_path):
+    """The grass_filtered recipe end to end: create_dataset (Length + light
+    drivers only) -> blur (Blur prepended) -> nerf2tfr -> TFRecord loader.
+    The loaded parameter vector must be [Blur, Length, LightXYZ] = 5 wide
+    (n_parameters=[2,3] in the shipped configs) with Blur matching the sigma
+    recorded in the transforms json, frame for frame."""
+    rng.set_seed(0)
+    src = str(tmp_path / "src")
+    config = EasyDict(
+        {
+            "seed": 3,
+            "resolution": 16,
+            "subsets": [
+                {
+                    "name": "train",
+                    "cam_radius": 5,
+                    "pose_dist_config": {
+                        "module": "data.distribution.Hemisphere",
+                        "sampler_config": {"module": "data.sampler.Independent", "d": 2, "n": 3},
+                    },
+                    "parameter_dist_config": {
+                        "module": "data.distribution.Concat",
+                        "distribution_config_0": {
+                            "module": "data.distribution.AABB",
+                            "sampler_config": {"module": "data.sampler.Independent", "d": 1},
+                        },
+                        "distribution_config_1": {"module": "data.distribution.Sphere"},
+                    },
+                }
+            ],
+            "collections": [
+                {
+                    "name": "Grass",
+                    "hair_drivers": ["Length"],
+                    "material_drivers": [],
+                    "light_drivers": ["LightDirection"],
+                }
+            ],
+            "target_path": src,
+        }
+    )
+    render_views(config, backend="analytic")
+
+    blurred = str(tmp_path / "blurred")
+    blur_process(src, blurred, subsets=("train",), max_sigma=4.0)
+    out_tfr = str(tmp_path / "filtered.tfr")
+    convert(blurred, out_tfr, subset="train")
+
+    dataset = util.instantiate(
+        EasyDict(
+            {
+                "module": "network.dataset.Dataset",
+                "data_loader_config": {
+                    "module": "network.dataset.TFRecord",
+                    "tfr_path": out_tfr,
+                },
+                "pixel_sampler_config": {
+                    "module": "network.pixel_sampler.Independent",
+                    "n_samples": 4,
+                },
+                "ray_sampler_config": {"module": "network.ray_sampler.Proxy"},
+                "proxy_config": {
+                    "module": "network.proxy.AABB",
+                    "b_0": [-1.5, -1.3, -0.2],
+                    "b_1": [1.3, 1.3, 1.9],
+                },
+                "n_epochs": 1,
+                "prefetch": 0,
+                "shuffle_buffer_size": 0,
+            }
+        )
+    )
+    assert dataset.n_parameters == 5  # [Blur, Length, LightXYZ]
+
+    with open(os.path.join(blurred, "transforms_train.json")) as f:
+        sigmas = [fr["driver_parameters"]["Blur"] for fr in json.load(f)["frames"]]
+    got = [float(np.asarray(b["parameters"])[0, 0]) for b in dataset]
+    assert len(got) == 3
+    np.testing.assert_allclose(sorted(got), sorted(sigmas), rtol=1e-6)
