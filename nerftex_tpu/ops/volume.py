@@ -181,9 +181,13 @@ def cone_segment_gaussians(rays_o, rays_d, t_vals, radii):
 
     mu = (t0 + t1) / 2
     hw = (t1 - t0) / 2
-    t_mean = mu + (2 * mu * hw**2) / (3 * mu**2 + hw**2)
-    t_var = (hw**2) / 3 - (4 / 15) * ((hw**4 * (12 * mu**2 - hw**2)) / (3 * mu**2 + hw**2) ** 2)
-    r_var = radii**2 * ((mu**2) / 4 + (5 / 12) * hw**2 - 4 / 15 * (hw**4) / (3 * mu**2 + hw**2))
+    # Degenerate segments (mu = hw = 0, e.g. proxy-missing rays whose t was
+    # zeroed) make every term below 0/0; the guard keeps them exactly 0 and
+    # NaN-free in both the forward and the gradient.
+    den = jnp.maximum(3 * mu**2 + hw**2, 1e-12)
+    t_mean = mu + (2 * mu * hw**2) / den
+    t_var = (hw**2) / 3 - (4 / 15) * ((hw**4 * (12 * mu**2 - hw**2)) / den**2)
+    r_var = radii**2 * ((mu**2) / 4 + (5 / 12) * hw**2 - 4 / 15 * (hw**4) / den)
 
     mean = rays_o[..., None, :] + rays_d[..., None, :] * t_mean[..., None]
 
@@ -201,8 +205,9 @@ def cone_sample_cov(rays_d, t_vals, radii, dists):
     (renderer.py:570-587).  All inputs flat [N] / [N,3]; returns [N,3]."""
     mu = t_vals
     hw = dists
-    t_var = (hw**2) / 3 - (4 / 15) * ((hw**4 * (12 * mu**2 - hw**2)) / (3 * mu**2 + hw**2) ** 2)
-    r_var = radii**2 * ((mu**2) / 4 + (5 / 12) * hw**2 - 4 / 15 * (hw**4) / (3 * mu**2 + hw**2))
+    den = jnp.maximum(3 * mu**2 + hw**2, 1e-12)  # 0/0 guard, see above
+    t_var = (hw**2) / 3 - (4 / 15) * ((hw**4 * (12 * mu**2 - hw**2)) / den**2)
+    r_var = radii**2 * ((mu**2) / 4 + (5 / 12) * hw**2 - 4 / 15 * (hw**4) / den)
 
     d_mag_sq = jnp.maximum(1e-10, jnp.sum(rays_d**2, axis=-1, keepdims=True))
     d_outer_diag = rays_d**2

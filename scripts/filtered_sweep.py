@@ -41,14 +41,17 @@ from nerftex_tpu.utils.util import EasyDict
 from nerftex_tpu.utils.image import read_image, write_image
 
 
-def render_variant(base, name, size, downsampling_factor=1, pin_blur=None):
+def render_variant(base, name, size, downsampling_factor=1, pin_blur=None, source="logs/grass_filtered"):
     cfg = copy.deepcopy(base)
-    cfg["target_path"] = f"logs/grass_filtered_sweep/{name}"
-    cfg["source_path"] = "logs/grass_filtered"
+    cfg["target_path"] = f"{source}_sweep/{name}"
+    cfg["source_path"] = source
     cfg["test_dataset_config"]["data_loader_config"].update({"height": size, "width": size})
     cfg["logger_config"]["downsampling_factor"] = downsampling_factor
     if pin_blur is not None:
-        cfg["renderer_config"]["blur_idx"] = None
+        # Zero the Blur constant but keep blur_idx: the per-sample scaling
+        # (cone_scale * t / patch_scale) multiplies it, so the model (or the
+        # mip cone radius) sees exactly pin_blur at every distance.  The mip
+        # model requires the splice to stay on (it consumes 4 parameters).
         constants = cfg["test_dataset_config"]["data_loader_config"][
             "parameter_dist_config"
         ]["constants"]
@@ -68,14 +71,27 @@ def psnr_premult(a, b):
 
 
 def main():
+    import argparse
     import importlib
 
-    base = copy.deepcopy(importlib.import_module("configs.demo_grass_filtered_render").config)
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--variant", default="filtered", choices=["filtered", "mip"],
+        help="filtered = blur_idx InstanceRenderer demo; mip = the trained "
+             "IPE MipInstanceRenderer demo (configs/demo_grass_mip_*)",
+    )
+    args = ap.parse_args()
+    config_name = (
+        "demo_grass_filtered_render" if args.variant == "filtered" else "demo_grass_mip_render"
+    )
+    source = "logs/grass_filtered" if args.variant == "filtered" else "logs/grass_mip"
+
+    base = copy.deepcopy(importlib.import_module(f"configs.{config_name}").config)
     base["module"] = "network.render.Render"
 
-    pf = render_variant(base, "pf", 256)
-    nf = render_variant(base, "nf", 256, pin_blur=0.0)
-    ss = render_variant(base, "ss", 512, downsampling_factor=2)
+    pf = render_variant(base, "pf", 256, source=source)
+    nf = render_variant(base, "nf", 256, pin_blur=0.0, source=source)
+    ss = render_variant(base, "ss", 512, downsampling_factor=2, source=source)
 
     radii = np.linspace(20, 5, len(pf))
     print(f"{'radius':>8} {'PSNR(pf,ss)':>12} {'PSNR(nf,ss)':>12} {'prefilter gain':>15}")
@@ -88,8 +104,9 @@ def main():
     # Montage: top row = prefiltered sweep, bottom = supersampled reference.
     top = np.concatenate(pf, axis=1)
     bot = np.concatenate(ss, axis=1)
-    write_image("docs/grass_filtered_sweep.png", np.concatenate([top, bot], axis=0))
-    print("montage -> docs/grass_filtered_sweep.png")
+    out_png = f"docs/grass_{args.variant}_sweep.png"
+    write_image(out_png, np.concatenate([top, bot], axis=0))
+    print(f"montage -> {out_png}")
 
 
 if __name__ == "__main__":

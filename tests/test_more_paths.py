@@ -268,3 +268,59 @@ def test_checkpoint_multihost_single_writer(tmp_path, monkeypatch):
     restored = mgr.restore_latest()
     np.testing.assert_array_equal(restored["w"], state["w"])
     assert len(mgr.checkpoints()) == 1
+
+
+def test_mip_training_finite_with_miss_rays():
+    """Proxy-missing rays (t = inf) must not poison the MipRenderer loss or
+    gradients: their zeroed t made the conical-frustum moments 0/0
+    (cone_segment_gaussians), and NaN * mask stays NaN through the backward.
+    Regression for the grass_mip demo divergence (step-14 NaN)."""
+    rng.set_seed(0)
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import nerftex_tpu.models.mlp as mlp_mod
+
+    mlp_mod._INIT_COUNTER[0] = 0
+    models = util.instantiate(
+        EasyDict(
+            {
+                "module": "network.model.ParamNerf",
+                "pos_embedding": {"module": "network.model.IntegratedPositionalEncoding", "n_freq_bands": 4},
+                "dir_embedding": {"module": "network.model.FourierFeatures", "n_freq_bands": 2},
+                "param_embedding": {"module": "network.model.FourierFeatures", "n_freq_bands": 2},
+                "n_parameters": [1, 3],
+                "n_pos": 6,
+                "depth": 2,
+                "width": 32,
+                "skips": [1],
+            }
+        )
+    )
+    from nerftex_tpu.render.renderer import MipRenderer
+    from nerftex_tpu.render.loss import AlphaLoss
+
+    renderer = MipRenderer(model=models["model"], n_samples=8, perturb=True, blur_idx=0)
+    loss_fn = AlphaLoss(loss_fn="network.loss.smape", alpha_loss_fn="network.loss.mse")
+
+    rs = np.random.RandomState(0)
+    t = np.tile([2.0, 5.0], (2, 8, 1)).astype(np.float32)
+    t[0, :3] = np.inf  # proxy-missing rays
+    batch = {
+        "rays_o": jnp.asarray((rs.randn(2, 8, 3) * 0.05 + [0, 0, 4]).astype(np.float32)),
+        "rays_d": jnp.asarray(np.tile([0, 0, -1.0], (2, 8, 1)).astype(np.float32)),
+        "t": jnp.asarray(t),
+        "parameters": jnp.asarray(rs.rand(2, 5).astype(np.float32)),
+        "cone_scale": jnp.full((2, 8, 1), 0.01, jnp.float32),
+        "color": jnp.asarray(rs.rand(2, 8, 3).astype(np.float32)),
+        "alpha": jnp.asarray((rs.rand(2, 8) > 0.4).astype(np.float32)),
+    }
+
+    def loss_of(p):
+        pred = renderer.apply(p, batch, jax.random.key(3), training=True)
+        return loss_fn(color_true=batch["color"], alpha_true=batch["alpha"], **pred)
+
+    params = {"model": models["model"].params}
+    loss, grads = jax.value_and_grad(loss_of)(params)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(optax.global_norm(grads)))
