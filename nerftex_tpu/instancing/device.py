@@ -151,6 +151,24 @@ class DeviceScene:
                 self.mesh_tex = None
                 self.mesh_tex_dims = []
 
+        # Per-instance bounding spheres (world space) for conservative
+        # block-frustum culling: the 8 corners of the local patch box pushed
+        # through each forward transform.
+        if n:
+            fwd = np.asarray(scene.forward, np.float32).reshape(n, 4, 4)
+            b0 = np.asarray(scene.b_0, np.float32)
+            b1 = np.asarray(scene.b_1, np.float32)
+            corners = np.array(
+                [[b0[0], b0[1], b0[2]], [b0[0], b0[1], b1[2]],
+                 [b0[0], b1[1], b0[2]], [b0[0], b1[1], b1[2]],
+                 [b1[0], b0[1], b0[2]], [b1[0], b0[1], b1[2]],
+                 [b1[0], b1[1], b0[2]], [b1[0], b1[1], b1[2]]], np.float32)
+            wc = np.einsum("nij,kj->nki", fwd[:, :3, :3], corners) + fwd[:, None, :3, 3]
+            center = wc.mean(1)
+            radius = np.linalg.norm(wc - center[:, None], axis=-1).max(1)
+            self.inst_center = jnp.asarray(center, f32)
+            self.inst_radius = jnp.asarray(radius, f32)
+
         # If every instance is a uniformly-scaled rotation (the mesh
         # placement path always is), dir_inv == inv_rot * patch-scale and the
         # per-sample dir_inv gather can reuse the inv_rot gather.
@@ -336,6 +354,7 @@ class DeviceInstancer:
         shadow_samples: int = 32,
         texture_lookup: str = "jacobian",
         max_steps_per_ray: int = 512,
+        cull_budget: int = 0,
         seed: int = 0,
     ):
         self.ds = DeviceScene(scene)
@@ -343,6 +362,16 @@ class DeviceInstancer:
         self.ray_block = ray_block
         self.shadow_samples = shadow_samples
         self.texture_lookup = texture_lookup
+        # Conservative per-block instance culling: before the per-instance
+        # slab tests, each ray block keeps only the <= cull_budget instances
+        # whose bounding sphere intersects the block's bounding cone
+        # (origin-sphere + direction spread).  0 disables (every instance is
+        # tested — the reference-exact default).  Conservative: a kept-out
+        # instance cannot intersect any ray in the block, so results are
+        # identical when the budget covers every overlapping candidate;
+        # blocks whose candidate count exceeds the budget drop the
+        # highest-index extras and count them in overflow_hits.
+        self.cull_budget = cull_budget
         # Compact-path cap on marching steps per ray: shrinks every [R,S]
         # buffer (dists, compositing scatter) to min(n_samples, this).
         # Rays needing more steps drop their deepest samples (counted in
@@ -956,6 +985,76 @@ class DeviceInstancer:
 
     # -- per-ray stage ----------------------------------------------------
 
+    def _cull_candidates(self, rays_o, rays_d, C):
+        """Conservative candidate set for one ray block: instances whose
+        bounding sphere can intersect the block's ray bundle.
+
+        A block of consecutive image pixels is a thin FAN, not a circular
+        cone (a 2-row strip of a 512-wide image spans ~the full horizontal
+        FOV but a fraction of a degree vertically), so the bundle is bounded
+        anisotropically: u = mean direction, w = principal in-fan axis
+        (power iteration on the direction covariance), n = u x w.  A sphere
+        survives if it passes BOTH
+          - the out-of-plane slab: |v.n| <= (|v| + reach) sin(s_perp) + reach
+          - the in-plane 2D sector test with half-angle s_in
+        with reach = instance radius + origin-bundle radius; both forms are
+        linear-conservative (projection of the reach sphere is a disk of the
+        same radius, and the 2D point-to-sector distance is pd sin(dtheta)).
+
+        Returns (cand [C] ascending global instance ids, cand_valid [C],
+        n_dropped scalar).  Conservative: an excluded instance intersects no
+        ray of the block, so downstream results are bit-identical to the
+        uncull path whenever n_dropped == 0."""
+        ds = self.ds
+        eps = 1e-12
+        o_c = rays_o.mean(0)
+        r_o = jnp.sqrt(jnp.maximum(jnp.max(jnp.sum((rays_o - o_c) ** 2, -1)), 0.0))
+        d_n = rays_d / jnp.maximum(jnp.linalg.norm(rays_d, axis=-1, keepdims=True), eps)
+        u = d_n.mean(0)
+        u = u / jnp.maximum(jnp.linalg.norm(u), eps)
+
+        # Principal in-fan axis: dominant eigenvector of the residual
+        # covariance (3 power iterations, deterministic start).
+        resid = d_n - (d_n @ u)[:, None] * u
+        cov = resid.T @ resid
+        w = cov[:, jnp.argmax(jnp.diagonal(cov))] + 1e-20
+        for _ in range(3):
+            w = cov @ w
+            w = w / jnp.maximum(jnp.linalg.norm(w), eps)
+        w = w - (w @ u) * u
+        w = w / jnp.maximum(jnp.linalg.norm(w), eps)
+        nrm = jnp.cross(u, w)
+        nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm), eps)
+
+        sin_perp = jnp.max(jnp.abs(d_n @ nrm)) + 1e-6
+        a = d_n @ u
+        b = d_n @ w
+        s_in = jnp.max(jnp.arctan2(jnp.abs(b), a)) + 1e-6
+
+        v = ds.inst_center - o_c                                     # [N,3]
+        dist = jnp.linalg.norm(v, axis=-1)
+        reach = ds.inst_radius + r_o
+        inside = dist <= reach
+
+        out_ok = jnp.abs(v @ nrm) <= (dist + reach) * sin_perp + reach
+
+        va = v @ u
+        vb = v @ w
+        pd = jnp.sqrt(va**2 + vb**2)
+        theta = jnp.arctan2(jnp.abs(vb), va)                         # [0, pi]
+        dtheta = jnp.minimum(jnp.maximum(theta - s_in, 0.0), jnp.pi / 2)
+        in_ok = (theta <= s_in) | (pd * jnp.sin(dtheta) <= reach)
+
+        keep = inside | (out_ok & in_ok)
+
+        n = ds.n_instances
+        idx = jnp.arange(n, dtype=jnp.int32)
+        prio = jnp.sort(jnp.where(keep, idx, n + idx))[:C]
+        cand_valid = prio < n
+        cand = jnp.where(cand_valid, prio, 0).astype(jnp.int32)
+        n_dropped = jnp.maximum(jnp.sum(keep.astype(jnp.int32)) - C, 0)
+        return cand, cand_valid, n_dropped
+
     def _per_ray(self, rays_o, rays_d, parameters, S, step, key):
         ds = self.ds
         Rb = rays_o.shape[0]
@@ -965,16 +1064,34 @@ class DeviceInstancer:
         # 1. instance intervals -----------------------------------------
         # Componentwise [Rb,N] planes via MXU matmuls; a [Rb,N,3] layout
         # would lane-pad 42x (see _moller_trumbore note).
-        t0 = jnp.full((Rb, ds.n_instances), -jnp.inf)
-        t1 = jnp.full((Rb, ds.n_instances), jnp.inf)
+        cull_overflow = jnp.int32(0)
+        C = self.cull_budget
+        if C and max(C, K) < ds.n_instances:
+            C = max(C, K)
+            cand, cand_valid, cull_overflow = self._cull_candidates(rays_o, rays_d, C)
+            inv_rot_n = ds.inv_rot[cand]                             # [C,3,3]
+            inv_trans_n = ds.inv_trans[cand]                         # [C,3]
+            inst_ids = cand
+            n_cols = C
+        else:
+            inv_rot_n = ds.inv_rot
+            inv_trans_n = ds.inv_trans
+            inst_ids = jnp.arange(ds.n_instances, dtype=jnp.int32)
+            cand_valid = None
+            n_cols = ds.n_instances
+        t0 = jnp.full((Rb, n_cols), -jnp.inf)
+        t1 = jnp.full((Rb, n_cols), jnp.inf)
         for c in range(3):
-            o_lc = rays_o @ ds.inv_rot[:, c, :].T + ds.inv_trans[:, c]  # [Rb,N]
-            d_lc = rays_d @ ds.inv_rot[:, c, :].T
+            o_lc = rays_o @ inv_rot_n[:, c, :].T + inv_trans_n[:, c]  # [Rb,N|C]
+            d_lc = rays_d @ inv_rot_n[:, c, :].T
             inv_dl = 1.0 / jnp.where(jnp.abs(d_lc) < 1e-12, 1e-12, d_lc)
             t_a = (ds.b_0[c] - o_lc) * inv_dl
             t_b = (ds.b_1[c] - o_lc) * inv_dl
             t0 = jnp.maximum(t0, jnp.minimum(t_a, t_b))
             t1 = jnp.minimum(t1, jnp.maximum(t_a, t_b))
+        if cand_valid is not None:
+            t0 = jnp.where(cand_valid[None, :], t0, jnp.inf)
+            t1 = jnp.where(cand_valid[None, :], t1, -jnp.inf)
         box_hit = (t0 < t1) & (t1 > 0) & (t0 < T_FAR)
         t0c = jnp.clip(t0, 0.0, T_FAR)
         t1c = jnp.clip(t1, 0.0, T_FAR)
@@ -1002,16 +1119,15 @@ class DeviceInstancer:
         # max_steps_per_ray) and usually hidden behind ~full accumulated
         # opacity (measured 120 dB agreement vs max_hits=64 on the carpet
         # bench frame).
-        overflow_hits = jnp.sum(jnp.maximum(jnp.sum(valid_iv, -1) - K, 0))
+        overflow_hits = jnp.sum(jnp.maximum(jnp.sum(valid_iv, -1) - K, 0)) + cull_overflow
         score = jnp.where(valid_iv, t0c, jnp.inf)
         # Top-K nearest via one stable multi-operand sort: t1c and the
         # instance index ride along as values, replacing the row-internal
         # take_along_axis gather (measured 85 ms/frame on the carpet bench).
         # Stable ascending sort with an iota operand matches top_k's
-        # lowest-index-first tie order.
-        iota = jnp.broadcast_to(
-            jnp.arange(score.shape[-1], dtype=jnp.int32), score.shape
-        )
+        # lowest-index-first tie order (inst_ids is ascending, so this holds
+        # under culling too — the ids are global instance indices).
+        iota = jnp.broadcast_to(inst_ids, score.shape)
         tk0_s, tk1_s, idx_s = jax.lax.sort(
             (score, t1c, iota), dimension=-1, num_keys=1, is_stable=True
         )

@@ -35,6 +35,7 @@ class Instancer:
         ray_block: int = 256,
         shadow_samples: int = 32,
         max_steps_per_ray: int = 512,
+        cull_budget: int = 0,
         seed: int = 0,
     ):
         self.scene = Scene(
@@ -69,6 +70,7 @@ class Instancer:
             ray_block=ray_block,
             shadow_samples=shadow_samples,
             max_steps_per_ray=max_steps_per_ray,
+            cull_budget=cull_budget,
             seed=seed,
         )
 

@@ -380,3 +380,86 @@ def test_aux_mesh_terminator_shading_matches_oracle(assets):
     np.testing.assert_allclose(out_d["alpha_last"], out_o["alpha_last"], atol=1e-5)
     np.testing.assert_allclose(out_d["color_last"], out_o["color_last"], atol=2e-2)
     assert out_d["color_last"].max() > 0.05  # actually shaded, not black
+
+
+def _pinhole_block(n=64, seed=3):
+    """A camera-coherent ray block (the culling bound's intended shape)."""
+    rs = np.random.RandomState(seed)
+    from nerftex_tpu.data.dataset import look_at_np
+    from nerftex_tpu.data.ray_sampler import rays_from_camera_np
+
+    pose = look_at_np(np.array([0.6, -0.8, 0.7]) * 4.0)
+    w = 16
+    idx = np.arange(n)
+    loc = np.stack([idx // w, idx % w], -1).astype(np.float32)
+    rays_o, rays_d, _ = rays_from_camera_np(loc, n // w, w, 24.0, pose)
+    rays_d = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    return rays_o.astype(np.float32), rays_d.astype(np.float32)
+
+
+def test_cull_candidates_conservative():
+    """Every instance whose slab test intersects any ray of a coherent block
+    must be in the candidate set (the conservativeness the bit-exactness
+    claim rests on)."""
+    rs = np.random.RandomState(0)
+    scene = _simple_scene()
+    for _ in range(40):
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 3] = rs.uniform(-1.5, 1.5, 3)
+        ang = rs.uniform(0, 2 * np.pi)
+        c, s = np.cos(ang), np.sin(ang)
+        m[:2, :2] = np.array([[c, -s], [s, c]], np.float32) * rs.uniform(0.2, 0.5)
+        m[2, 2] = rs.uniform(0.2, 0.5)
+        scene.add_instance(m)
+    dev = DeviceInstancer(scene, max_hits=8, ray_block=64, cull_budget=40)
+
+    rays_o, rays_d = _pinhole_block()
+    cand, valid, dropped = dev._cull_candidates(rays_o, rays_d, 40)
+    cand_set = set(np.asarray(cand)[np.asarray(valid)].tolist())
+    assert int(dropped) == 0
+
+    import jax.numpy as jnp
+
+    ds = dev.ds
+    t0 = jnp.full((64, ds.n_instances), -jnp.inf)
+    t1 = jnp.full((64, ds.n_instances), jnp.inf)
+    for c in range(3):
+        o_lc = rays_o @ np.asarray(ds.inv_rot)[:, c, :].T + np.asarray(ds.inv_trans)[:, c]
+        d_lc = rays_d @ np.asarray(ds.inv_rot)[:, c, :].T
+        inv_dl = 1.0 / np.where(np.abs(d_lc) < 1e-12, 1e-12, d_lc)
+        t_a = (float(ds.b_0[c]) - o_lc) * inv_dl
+        t_b = (float(ds.b_1[c]) - o_lc) * inv_dl
+        t0 = np.maximum(t0, np.minimum(t_a, t_b))
+        t1 = np.minimum(t1, np.maximum(t_a, t_b))
+    really_hit = np.nonzero(((t0 < t1) & (t1 > 0)).any(0))[0]
+    missing = [i for i in really_hit.tolist() if i not in cand_set]
+    assert not missing, f"cull dropped truly-hit instances {missing}"
+
+
+def test_cull_budget_bitexact_when_covering(assets):
+    """With a budget covering every candidate, the culled per-ray pipeline is
+    bit-identical to the uncull path on the full instanced scene."""
+    from nerftex_tpu.instancing.instancer import Instancer
+    from nerftex_tpu.utils import rng
+
+    def build(cull):
+        rng.set_seed(0)
+        return Instancer(
+            b_0=[-1.4, -1.2, -0.1], b_1=[1.2, 1.2, 1.8],
+            mesh_path=os.path.join(assets, "cloth_mesh.ply"),
+            patch_origins_path=os.path.join(assets, "cloth_anchor_points.ply"),
+            patch_scale=0.09, jitter_amount=1.0,
+            textures=[os.path.join(assets, "smooth_checkerboard.png"), "", "", "", "light"],
+            instance_sampling_method="nearest",
+            max_hits=16, ray_block=64, cull_budget=cull,
+        )
+
+    rays_o, rays_d = _pinhole_block(n=128)
+    prm = np.tile(np.float32([1, 1, 1, 0.1, 0, 0, 1]), (128, 1))
+    key = jax.random.key(11)
+    n = build(0).n_instances()
+    oa = build(0).get_model_input_dict(rays_o, rays_d, prm, 48, 0.02, key=key)
+    ob = build(n).get_model_input_dict(rays_o, rays_d, prm, 48, 0.02, key=key)
+    for k in sorted(oa):
+        va, vb = np.asarray(oa[k]), np.asarray(ob[k])
+        assert np.array_equal(va, vb, equal_nan=True), f"{k} differs under culling"
