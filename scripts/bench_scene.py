@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--step-cap", type=int, default=512)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--dense", action="store_true", help="disable sorted-block path")
+    ap.add_argument("--cull", type=int, default=0, help="instancer cull_budget (0 = off)")
     ap.add_argument("--trials", type=int, default=3)
     args = ap.parse_args()
 
@@ -59,6 +60,8 @@ def main():
     if args.max_hits is not None:
         rcfg.instancer_config.update({"max_hits": args.max_hits})
     rcfg.instancer_config.update({"max_steps_per_ray": args.step_cap})
+    if args.cull:
+        rcfg.instancer_config.update({"cull_budget": args.cull})
     n_rays = ds.height * ds.width
     rcfg.update(
         {"render_chunk": args.chunk or n_rays, "sorted_blocks": not args.dense}
