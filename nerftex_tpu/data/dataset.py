@@ -313,7 +313,14 @@ def TFRecord(
         for payload in tfr.read_records(path, compression_type):
             examples.append(tfr.parse_example(payload))
     if not examples:
-        raise ValueError(f"no records found at {tfr_path}")
+        hint = (
+            "  datasets/ is generated data — run "
+            "`python scripts/make_demo_datasets.py` to rebuild every dataset "
+            "the shipped configs reference."
+            if "datasets/" in tfr_path or tfr_path.startswith("datasets")
+            else ""
+        )
+        raise FileNotFoundError(f"no records found at {tfr_path}.{hint}")
 
     source = LazyTFRecordSource(examples, read_exr, composite_bkgd, bkgd_color)
     first = source[0]
