@@ -60,7 +60,7 @@ def main():
     renderer = build(
         render_chunk=262144, ray_block=1024, max_hits=48, budget=0,
         n_samples=1024, step_cap=320, compute_dtype="bfloat16", net_chunk=32768,
-        cull_budget=512,
+        cull_budget=448,
     )
     data = {k: jax.device_put(v) for k, v in ray_data(512, 512).items()}
     jax.block_until_ready(list(data.values()))
