@@ -84,6 +84,20 @@ class DeviceScene:
             self.tri_uv = jnp.asarray(np.concatenate(uv_rows), f32)     # [T,3,2]
             self.tri_mesh_id = jnp.asarray(np.concatenate(mesh_ids))
             self.n_tris = int(self.tri_v0.shape[0])
+            # Triangle bounding spheres for the block-fan cull.
+            v0 = np.concatenate(v0s)
+            e1 = np.concatenate(e1s)
+            e2 = np.concatenate(e2s)
+            cen = v0 + (e1 + e2) / 3.0
+            rad = np.maximum(
+                np.linalg.norm(cen - v0, axis=-1),
+                np.maximum(
+                    np.linalg.norm(cen - (v0 + e1), axis=-1),
+                    np.linalg.norm(cen - (v0 + e2), axis=-1),
+                ),
+            )
+            self.tri_center = jnp.asarray(cen, f32)
+            self.tri_radius = jnp.asarray(rad, f32)
         else:
             self.n_tris = 0
 
@@ -355,6 +369,7 @@ class DeviceInstancer:
         texture_lookup: str = "jacobian",
         max_steps_per_ray: int = 512,
         cull_budget: int = 0,
+        tri_cull_budget: int = 0,
         seed: int = 0,
     ):
         self.ds = DeviceScene(scene)
@@ -372,6 +387,10 @@ class DeviceInstancer:
         # blocks whose candidate count exceeds the budget drop the
         # highest-index extras and count them in overflow_hits.
         self.cull_budget = cull_budget
+        # Same cull for the mesh triangle soup (the first-hit terminator
+        # test): 0 disables.  Conservative in the same sense; over-budget
+        # drops are counted in overflow_hits.
+        self.tri_cull_budget = tri_cull_budget
         # Compact-path cap on marching steps per ray: shrinks every [R,S]
         # buffer (dists, compositing scatter) to min(n_samples, this).
         # Rays needing more steps drop their deepest samples (counted in
@@ -1005,7 +1024,24 @@ class DeviceInstancer:
         n_dropped scalar).  Conservative: an excluded instance intersects no
         ray of the block, so downstream results are bit-identical to the
         uncull path whenever n_dropped == 0."""
-        ds = self.ds
+        keep = self._fan_keep(
+            self._block_fan(rays_o, rays_d), self.ds.inst_center, self.ds.inst_radius
+        )
+        return self._keep_to_candidates(keep, C)
+
+    def _cull_tris(self, rays_o, rays_d, C):
+        """Triangle-soup variant of _cull_candidates (same conservative fan
+        test against per-triangle bounding spheres)."""
+        keep = self._fan_keep(
+            self._block_fan(rays_o, rays_d), self.ds.tri_center, self.ds.tri_radius
+        )
+        return self._keep_to_candidates(keep, C)
+
+    @staticmethod
+    def _block_fan(rays_o, rays_d):
+        """Anisotropic bound of a ray block: origin sphere (o_c, r_o), mean
+        direction u, principal in-fan axis w (power iteration), fan normal,
+        out-of-plane sine bound and in-plane half-angle."""
         eps = 1e-12
         o_c = rays_o.mean(0)
         r_o = jnp.sqrt(jnp.maximum(jnp.max(jnp.sum((rays_o - o_c) ** 2, -1)), 0.0))
@@ -1013,8 +1049,6 @@ class DeviceInstancer:
         u = d_n.mean(0)
         u = u / jnp.maximum(jnp.linalg.norm(u), eps)
 
-        # Principal in-fan axis: dominant eigenvector of the residual
-        # covariance (3 power iterations, deterministic start).
         resid = d_n - (d_n @ u)[:, None] * u
         cov = resid.T @ resid
         w = cov[:, jnp.argmax(jnp.diagonal(cov))] + 1e-20
@@ -1027,27 +1061,30 @@ class DeviceInstancer:
         nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm), eps)
 
         sin_perp = jnp.max(jnp.abs(d_n @ nrm)) + 1e-6
-        a = d_n @ u
-        b = d_n @ w
-        s_in = jnp.max(jnp.arctan2(jnp.abs(b), a)) + 1e-6
+        s_in = jnp.max(jnp.arctan2(jnp.abs(d_n @ w), d_n @ u)) + 1e-6
+        return o_c, r_o, u, w, nrm, sin_perp, s_in
 
-        v = ds.inst_center - o_c                                     # [N,3]
+    @staticmethod
+    def _fan_keep(fan, centers, radii):
+        """Conservative sphere-vs-fan test (linear forms; see
+        _cull_candidates docstring)."""
+        o_c, r_o, u, w, nrm, sin_perp, s_in = fan
+        v = centers - o_c
         dist = jnp.linalg.norm(v, axis=-1)
-        reach = ds.inst_radius + r_o
+        reach = radii + r_o
         inside = dist <= reach
-
         out_ok = jnp.abs(v @ nrm) <= (dist + reach) * sin_perp + reach
-
         va = v @ u
         vb = v @ w
         pd = jnp.sqrt(va**2 + vb**2)
-        theta = jnp.arctan2(jnp.abs(vb), va)                         # [0, pi]
+        theta = jnp.arctan2(jnp.abs(vb), va)
         dtheta = jnp.minimum(jnp.maximum(theta - s_in, 0.0), jnp.pi / 2)
         in_ok = (theta <= s_in) | (pd * jnp.sin(dtheta) <= reach)
+        return inside | (out_ok & in_ok)
 
-        keep = inside | (out_ok & in_ok)
-
-        n = ds.n_instances
+    @staticmethod
+    def _keep_to_candidates(keep, C):
+        n = keep.shape[0]
         idx = jnp.arange(n, dtype=jnp.int32)
         prio = jnp.sort(jnp.where(keep, idx, n + idx))[:C]
         cand_valid = prio < n
@@ -1098,11 +1135,26 @@ class DeviceInstancer:
 
         # 2. mesh first hit ---------------------------------------------
         if ds.n_tris > 0:
-            t_all, u_all, v_all = _moller_trumbore(rays_o, rays_d, ds.tri_v0, ds.tri_e1, ds.tri_e2)
-            tri_best = jnp.argmin(t_all, -1)
-            t_mesh = jnp.take_along_axis(t_all, tri_best[:, None], -1)[:, 0]
-            u_best = jnp.take_along_axis(u_all, tri_best[:, None], -1)[:, 0]
-            v_best = jnp.take_along_axis(v_all, tri_best[:, None], -1)[:, 0]
+            TC = self.tri_cull_budget
+            if TC and TC < ds.n_tris:
+                tcand, tvalid, tdrop = self._cull_tris(rays_o, rays_d, TC)
+                cull_overflow = cull_overflow + tdrop
+                t_all, u_all, v_all = _moller_trumbore(
+                    rays_o, rays_d,
+                    ds.tri_v0[tcand], ds.tri_e1[tcand], ds.tri_e2[tcand],
+                )
+                t_all = jnp.where(tvalid[None, :], t_all, jnp.inf)
+                best_local = jnp.argmin(t_all, -1)
+                tri_best = tcand[best_local]
+            else:
+                t_all, u_all, v_all = _moller_trumbore(
+                    rays_o, rays_d, ds.tri_v0, ds.tri_e1, ds.tri_e2
+                )
+                best_local = jnp.argmin(t_all, -1)
+                tri_best = best_local
+            t_mesh = jnp.take_along_axis(t_all, best_local[:, None], -1)[:, 0]
+            u_best = jnp.take_along_axis(u_all, best_local[:, None], -1)[:, 0]
+            v_best = jnp.take_along_axis(v_all, best_local[:, None], -1)[:, 0]
             mesh_hit = jnp.isfinite(t_mesh)
         else:
             t_mesh = jnp.full((Rb,), jnp.inf)

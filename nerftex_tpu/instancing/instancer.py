@@ -36,6 +36,7 @@ class Instancer:
         shadow_samples: int = 32,
         max_steps_per_ray: int = 512,
         cull_budget: int = 0,
+        tri_cull_budget: int = 0,
         seed: int = 0,
     ):
         self.scene = Scene(
@@ -71,6 +72,7 @@ class Instancer:
             shadow_samples=shadow_samples,
             max_steps_per_ray=max_steps_per_ray,
             cull_budget=cull_budget,
+            tri_cull_budget=tri_cull_budget,
             seed=seed,
         )
 

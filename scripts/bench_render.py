@@ -5,7 +5,7 @@ enable_compilation_cache()
 from nerftex_tpu.utils import util, rng
 from nerftex_tpu.utils.util import EasyDict
 
-def build(render_chunk=8192, ray_block=256, max_hits=64, budget=160, n_samples=1024, compute_dtype="float32", fused_mlp=False, step_cap=512, net_chunk=65536, sorted_blocks=True, cull_budget=0):
+def build(render_chunk=8192, ray_block=256, max_hits=64, budget=160, n_samples=1024, compute_dtype="float32", fused_mlp=False, step_cap=512, net_chunk=65536, sorted_blocks=True, cull_budget=0, tri_cull_budget=0):
     rng.set_seed(0)
     import nerftex_tpu.models.mlp as mlp_mod
     mlp_mod._INIT_COUNTER[0] = 0
@@ -34,6 +34,7 @@ def build(render_chunk=8192, ray_block=256, max_hits=64, budget=160, n_samples=1
             "instance_sampling_method": "nearest",
             "max_hits": max_hits, "ray_block": ray_block,
             "max_steps_per_ray": step_cap, "cull_budget": cull_budget,
+            "tri_cull_budget": tri_cull_budget,
         }, **models}))
 
 def ray_data(h=512, w=512):

@@ -463,3 +463,32 @@ def test_cull_budget_bitexact_when_covering(assets):
     for k in sorted(oa):
         va, vb = np.asarray(oa[k]), np.asarray(ob[k])
         assert np.array_equal(va, vb, equal_nan=True), f"{k} differs under culling"
+
+
+def test_tri_cull_budget_bitexact_when_covering(assets):
+    """Triangle-soup culling with a covering budget leaves the mesh
+    first-hit (terminator) results bit-identical."""
+    from nerftex_tpu.instancing.instancer import Instancer
+    from nerftex_tpu.utils import rng
+
+    def build(tri_cull):
+        rng.set_seed(0)
+        return Instancer(
+            b_0=[-1.4, -1.2, -0.1], b_1=[1.2, 1.2, 1.8],
+            mesh_path=os.path.join(assets, "cloth_mesh.ply"),
+            patch_origins_path=os.path.join(assets, "cloth_anchor_points.ply"),
+            patch_scale=0.09, jitter_amount=1.0,
+            textures=[os.path.join(assets, "smooth_checkerboard.png"), "", "", "", "light"],
+            instance_sampling_method="nearest",
+            max_hits=16, ray_block=64, tri_cull_budget=tri_cull,
+        )
+
+    rays_o, rays_d = _pinhole_block(n=128)
+    prm = np.tile(np.float32([1, 1, 1, 0.1, 0, 0, 1]), (128, 1))
+    key = jax.random.key(5)
+    n_tris = build(0).device.ds.n_tris
+    oa = build(0).get_model_input_dict(rays_o, rays_d, prm, 48, 0.02, key=key)
+    ob = build(n_tris).get_model_input_dict(rays_o, rays_d, prm, 48, 0.02, key=key)
+    for k in sorted(oa):
+        va, vb = np.asarray(oa[k]), np.asarray(ob[k])
+        assert np.array_equal(va, vb, equal_nan=True), f"{k} differs under tri culling"
