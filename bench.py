@@ -69,7 +69,7 @@ def main():
     jax.block_until_ready(out["color_pred"])  # compile + warmup
 
     best = float("inf")
-    for trial in range(3):
+    for trial in range(5):
         t0 = time.perf_counter()
         out = renderer(**data, training=False, key=jax.random.key(1))
         jax.block_until_ready(out["color_pred"])
