@@ -1468,9 +1468,12 @@ class DeviceInstancer:
         s_sh = frac[None, :] * total[:, None]                        # [Rb,Ssh]
         j = jnp.sum(cum_incl[:, None, :] <= s_sh[:, :, None], axis=-1)
         j = jnp.clip(j, 0, times_s.shape[-1] - 1)
-        t_sh = jnp.take_along_axis(times_s, j, -1) + (
-            s_sh - jnp.take_along_axis(cum_excl, j, -1)
-        )
+        # One-hot select instead of take_along_axis (the row-internal gather
+        # cost ~170 ms/frame on the grass bench — same anti-pattern the
+        # per-sample stage avoids).
+        oh_j = j[..., None] == jnp.arange(times_s.shape[-1])[None, None, :]
+        picked = _onehot_pick(oh_j, jnp.stack([times_s, cum_excl], -1))
+        t_sh = picked[..., 0] + (s_sh - picked[..., 1])
         pts_sh = rays_o[:, None, :] + rays_d[:, None, :] * t_sh[..., None]
         return self._shadow_query(pts_sh, light_dir[:, None, :])     # [Rb,Ssh]
 
