@@ -1285,7 +1285,10 @@ class DeviceInstancer:
         cum_incl = ray["cum_incl"][ray_idx]                          # [M,2K]
         j = jnp.sum(cum_incl <= s_arc[:, None], axis=-1)
         j = jnp.clip(j, 0, 2 * K - 1)
-        t_mu = s_arc + jnp.take_along_axis(ray["arc_corr"][ray_idx], j[:, None], -1)[:, 0]
+        # One-hot select, not take_along_axis (row-internal gathers are the
+        # TPU anti-pattern; bit-exact replacement).
+        oh_j = j[:, None] == jnp.arange(cum_incl.shape[-1])[None, :]
+        t_mu = s_arc + jnp.sum(jnp.where(oh_j, ray["arc_corr"][ray_idx], 0.0), -1)
         t_pt = mean_distance(t_mu, step) if ds.use_mean_distance else t_mu
 
         o_g = rays_o[ray_idx]
@@ -1332,13 +1335,15 @@ class DeviceInstancer:
                 prob = w / jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-20)
                 cum = jnp.cumsum(prob, -1)
                 sel_k = jnp.clip(jnp.sum((u_sel[:, None] > cum).astype(jnp.int32), -1), 0, K - 1)
-                p_sel = jnp.take_along_axis(prob, sel_k[:, None], -1)[:, 0]
+                oh_p = sel_k[:, None] == jnp.arange(K)[None, :]
+                p_sel = jnp.sum(jnp.where(oh_p, prob, 0.0), -1)
                 weight = 1.0 / jnp.maximum(p_sel, 1e-20)
             else:
                 raise ValueError(f"unknown instance_sampling_method {method}")
         weight = jnp.where(n_active == 1, 1.0, weight)
 
-        inst = jnp.take_along_axis(inst_idx, sel_k[:, None], -1)[:, 0]  # [M]
+        oh_k = sel_k[:, None] == jnp.arange(K)[None, :]
+        inst = jnp.sum(jnp.where(oh_k, inst_idx, 0), -1)             # [M]
 
         # local transforms ----------------------------------------------
         rot = ds.inv_rot[inst]                                       # [M,3,3]
