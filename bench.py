@@ -38,11 +38,46 @@ scripts/bench_train.py.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 REFERENCE_CPU_RAYS_PER_SEC = 675.0
+
+# Committed golden of the timed frame (key(1), bf16 path, float16-quantized).
+# The bench fails loudly if the frame drifts below GOLDEN_PSNR_DB against it:
+# a regression anywhere in the cull / sort / instancing / compositing chain
+# cannot report a fast garbage frame.  Legitimate noise sits far above the
+# floor (bf16-vs-f32 agreement is 71-73 dB; f16 quantization of the golden
+# caps the comparison near ~70 dB), while wrong frames measure < 30 dB.
+GOLDEN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tests", "golden_bench_frame.npz")
+GOLDEN_PSNR_DB = 55.0
+
+
+def _check_golden(out, write=False):
+    color = np.asarray(out["color_pred"], np.float32)[0]
+    alpha = np.asarray(out["alpha_pred"], np.float32)[0]
+    assert np.isfinite(color).all() and np.isfinite(alpha).all()
+    if write:
+        np.savez_compressed(
+            GOLDEN_PATH, color=color.astype(np.float16), alpha=alpha.astype(np.float16)
+        )
+        print(f"wrote golden frame to {GOLDEN_PATH}", file=sys.stderr)
+        return
+    g = np.load(GOLDEN_PATH)
+    err = np.concatenate(
+        [color - g["color"].astype(np.float32),
+         alpha[:, None] - g["alpha"].astype(np.float32)[:, None]], -1
+    )
+    mse = float(np.mean(err * err))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr >= GOLDEN_PSNR_DB, (
+        f"bench frame diverged from golden: {psnr:.1f} dB < {GOLDEN_PSNR_DB} dB floor"
+    )
+    print(f"golden check: {psnr:.1f} dB (floor {GOLDEN_PSNR_DB})", file=sys.stderr)
 
 
 def main():
@@ -76,8 +111,7 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     rays_per_sec = 512 * 512 / best
-    alpha = np.asarray(out["alpha_pred"])
-    assert np.isfinite(alpha).all() and alpha.max() > 0.01
+    _check_golden(out, write="--write-golden" in sys.argv)
 
     print(
         json.dumps(

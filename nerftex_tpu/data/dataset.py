@@ -306,8 +306,13 @@ def TFRecord(
     bkgd_color=(1, 1, 1.0),
     read_exr: bool = False,
     compression_type: str = None,
+    cache_size: int = 128,
 ) -> Tuple[Any, int, int, float, bool, Any]:
-    """Load a sharded TFRecord dataset (dataset.py:77-129)."""
+    """Load a sharded TFRecord dataset (dataset.py:77-129).
+
+    cache_size bounds the decoded-image LRU (full-scale 512^2 runs set it to
+    the dataset size so every image decodes exactly once; the reference's
+    tf.data pipeline amortizes decode across AUTOTUNE threads instead)."""
     examples = []
     for path in tfr.list_tfrecord_files(tfr_path):
         for payload in tfr.read_records(path, compression_type):
@@ -322,7 +327,9 @@ def TFRecord(
         )
         raise FileNotFoundError(f"no records found at {tfr_path}.{hint}")
 
-    source = LazyTFRecordSource(examples, read_exr, composite_bkgd, bkgd_color)
+    source = LazyTFRecordSource(
+        examples, read_exr, composite_bkgd, bkgd_color, cache_size=cache_size
+    )
     first = source[0]
     height, width = first["image"].shape[:2]
     angle = float(np.atleast_1d(examples[0]["angle"])[0])

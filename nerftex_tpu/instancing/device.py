@@ -371,6 +371,7 @@ class DeviceInstancer:
         cull_budget: int = 0,
         tri_cull_budget: int = 0,
         seed: int = 0,
+        deterministic_offset: bool = False,
     ):
         self.ds = DeviceScene(scene)
         self.max_hits = max_hits
@@ -385,11 +386,16 @@ class DeviceInstancer:
         # instance cannot intersect any ray in the block, so results are
         # identical when the budget covers every overlapping candidate;
         # blocks whose candidate count exceeds the budget drop the
-        # highest-index extras and count them in overflow_hits.
+        # highest-index extras and count them in overflow_cull (a separate
+        # diagnostic from overflow_hits so nonzero unambiguously means the
+        # budget is too small).
         self.cull_budget = cull_budget
         # Same cull for the mesh triangle soup (the first-hit terminator
         # test): 0 disables.  Conservative in the same sense; over-budget
-        # drops are counted in overflow_hits.
+        # drops are counted in overflow_cull.  Equivalence with a covering
+        # budget is exact for discrete outputs; t_mesh-derived floats can
+        # shift at f32-epsilon scale from fma contraction on the gathered
+        # candidate shapes (tests/test_device_instancer.py).
         self.tri_cull_budget = tri_cull_budget
         # Compact-path cap on marching steps per ray: shrinks every [R,S]
         # buffer (dists, compositing scatter) to min(n_samples, this).
@@ -398,6 +404,12 @@ class DeviceInstancer:
         # (reference-exact).
         self.max_steps_per_ray = max_steps_per_ray
         self.seed = seed
+        # Debug/parity knob (SURVEY §7 risks: "make those optionally
+        # deterministic"): fix the per-ray stratified marching offset at the
+        # segment midpoint (0.5 * step) instead of drawing it from the key,
+        # so renders are RNG-free and chunk-grouping independent — used by
+        # the reference-compositing cross-check (scripts/xcheck/).
+        self.deterministic_offset = deterministic_offset
         self._call_counter = 0
         self._jit_cache = {}
 
@@ -596,6 +608,7 @@ class DeviceInstancer:
             "hit": ray["hit"],
             "overflow_hits": ray["overflow_hits"],
             "overflow_steps": overflow_steps,
+            "overflow_cull": ray["overflow_cull"],
         }
 
     # -- occupancy-sorted bucketed grid render -----------------------------
@@ -689,6 +702,7 @@ class DeviceInstancer:
         )
         overflow_hits = jnp.sum(tables.pop("overflow_hits"))
         overflow_steps = jnp.sum(tables.pop("overflow_steps"))
+        overflow_cull = jnp.sum(tables.pop("overflow_cull"))
         tables = {
             k: (None if v is None else v.reshape((n_pad,) + v.shape[2:]))
             for k, v in tables.items()
@@ -773,6 +787,7 @@ class DeviceInstancer:
             "hit": hit[:r],
             "overflow_hits": overflow_hits,
             "overflow_steps": overflow_steps,
+            "overflow_cull": overflow_cull,
         }
         return outs, aux
 
@@ -800,6 +815,7 @@ class DeviceInstancer:
             **self._assemble_grid(ray, sample, rays_d, parameters, S),
             "overflow_hits": ray["overflow_hits"],
             "overflow_steps": ray["overflow_steps"],
+            "overflow_cull": ray["overflow_cull"],
         }
 
     def _assemble_grid(self, ray, sample, rays_d, parameters, S):
@@ -1171,7 +1187,7 @@ class DeviceInstancer:
         # max_steps_per_ray) and usually hidden behind ~full accumulated
         # opacity (measured 120 dB agreement vs max_hits=64 on the carpet
         # bench frame).
-        overflow_hits = jnp.sum(jnp.maximum(jnp.sum(valid_iv, -1) - K, 0)) + cull_overflow
+        overflow_hits = jnp.sum(jnp.maximum(jnp.sum(valid_iv, -1) - K, 0))
         score = jnp.where(valid_iv, t0c, jnp.inf)
         # Top-K nearest via one stable multi-operand sort: t1c and the
         # instance index ride along as values, replacing the row-internal
@@ -1223,7 +1239,10 @@ class DeviceInstancer:
         arc_corr = jnp.where(finite_t, times_s - cum_excl, 0.0)
 
         # 5. per-ray sample layout --------------------------------------
-        u_off = jax.random.uniform(key, (Rb,))
+        if self.deterministic_offset:
+            u_off = jnp.full((Rb,), 0.5)
+        else:
+            u_off = jax.random.uniform(key, (Rb,))
         necessary = jnp.floor(total / step).astype(jnp.int32)
         overflow_steps = jnp.sum(jnp.maximum(necessary - S, 0))
         n_steps = jnp.minimum(necessary, S)
@@ -1269,6 +1288,12 @@ class DeviceInstancer:
             "total": total, "n_steps": n_steps, "t_offset": t_offset, "tiny": tiny,
             "dists": dists, "color_last": color_last, "alpha_last": alpha_last,
             "hit": hit, "overflow_hits": overflow_hits, "overflow_steps": overflow_steps,
+            # Candidate instances/triangles dropped by the conservative
+            # per-block cull budgets — kept separate from overflow_hits
+            # (dropped hit intervals): nonzero here unambiguously means a
+            # cull budget is too small, breaking the bit-exactness
+            # precondition (see _cull_candidates docstring).
+            "overflow_cull": cull_overflow,
             "light_dir_w": light_dir_w, "shadow_blocked": shadow_blocked,
         }
 

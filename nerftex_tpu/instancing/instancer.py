@@ -38,6 +38,7 @@ class Instancer:
         cull_budget: int = 0,
         tri_cull_budget: int = 0,
         seed: int = 0,
+        deterministic_offset: bool = False,
     ):
         self.scene = Scene(
             b_0,
@@ -74,6 +75,7 @@ class Instancer:
             cull_budget=cull_budget,
             tri_cull_budget=tri_cull_budget,
             seed=seed,
+            deterministic_offset=deterministic_offset,
         )
 
     def n_instances(self) -> int:

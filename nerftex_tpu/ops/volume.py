@@ -182,9 +182,13 @@ def cone_segment_gaussians(rays_o, rays_d, t_vals, radii):
     mu = (t0 + t1) / 2
     hw = (t1 - t0) / 2
     # Degenerate segments (mu = hw = 0, e.g. proxy-missing rays whose t was
-    # zeroed) make every term below 0/0; the guard keeps them exactly 0 and
-    # NaN-free in both the forward and the gradient.
-    den = jnp.maximum(3 * mu**2 + hw**2, 1e-12)
+    # zeroed) make every term below 0/0.  Gate exactly on den == 0 (both
+    # terms are non-negative, so den == 0 iff mu = hw = 0): substituting
+    # den = 1 there makes every numerator-0 term exactly 0 and NaN-free in
+    # forward and gradient, while non-degenerate segments — however tiny —
+    # keep the reference formula bit-for-bit (renderer.py:420-422).
+    den_raw = 3 * mu**2 + hw**2
+    den = jnp.where(den_raw == 0.0, 1.0, den_raw)
     t_mean = mu + (2 * mu * hw**2) / den
     t_var = (hw**2) / 3 - (4 / 15) * ((hw**4 * (12 * mu**2 - hw**2)) / den**2)
     r_var = radii**2 * ((mu**2) / 4 + (5 / 12) * hw**2 - 4 / 15 * (hw**4) / den)
@@ -205,7 +209,8 @@ def cone_sample_cov(rays_d, t_vals, radii, dists):
     (renderer.py:570-587).  All inputs flat [N] / [N,3]; returns [N,3]."""
     mu = t_vals
     hw = dists
-    den = jnp.maximum(3 * mu**2 + hw**2, 1e-12)  # 0/0 guard, see above
+    den_raw = 3 * mu**2 + hw**2
+    den = jnp.where(den_raw == 0.0, 1.0, den_raw)  # exact 0/0 gate, see above
     t_var = (hw**2) / 3 - (4 / 15) * ((hw**4 * (12 * mu**2 - hw**2)) / den**2)
     r_var = radii**2 * ((mu**2) / 4 + (5 / 12) * hw**2 - 4 / 15 * (hw**4) / den)
 

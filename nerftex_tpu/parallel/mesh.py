@@ -122,12 +122,27 @@ def make_parallel_train_step(
     )
 
     def place_params(p):
-        return jax.device_put(p, param_sharding)
+        return jax.tree.map(_put_global, p, param_sharding)
 
     def place_batch(batch):
-        return {k: jax.device_put(v, batch_shardings[k]) for k, v in batch.items()}
+        return {k: _put_global(v, batch_shardings[k]) for k, v in batch.items()}
 
     return jitted, place_params, place_batch
+
+
+def _put_global(value, sharding):
+    """Place a host array under a sharding that may span processes.
+
+    Single-process: plain device_put.  Multi-process (jax.distributed): every
+    process holds the identical full array (the data pipeline is replicated,
+    single-controller style), so each process materializes only its
+    addressable shards via make_array_from_callback — device_put cannot
+    target non-addressable devices.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(value, sharding)
+    value = np.asarray(value)
+    return jax.make_array_from_callback(value.shape, sharding, lambda idx: value[idx])
 
 
 def shard_render(renderer, mesh: Mesh):

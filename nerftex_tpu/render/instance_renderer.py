@@ -124,6 +124,7 @@ class InstanceRenderer(Renderer):
                 "hit": aux["hit"],
                 "overflow_hits": aux["overflow_hits"],
                 "overflow_steps": aux["overflow_steps"],
+                "overflow_cull": aux["overflow_cull"],
             }
         else:
             inst = self.instancer.get_model_input_dict(
@@ -150,6 +151,7 @@ class InstanceRenderer(Renderer):
             "alpha_pred": alpha_map,
             "_overflow_hits": inst["overflow_hits"],
             "_overflow_steps": inst["overflow_steps"],
+            "_overflow_cull": inst.get("overflow_cull", 0),
         }
 
     def _report_diagnostics(self, out: dict) -> None:
@@ -161,6 +163,13 @@ class InstanceRenderer(Renderer):
         # (max_steps_per_ray / n_samples / sample_budget_per_ray).
         hits = out.pop("_overflow_hits", 0)
         steps = out.pop("_overflow_steps", 0)
+        cull = out.pop("_overflow_cull", 0)
+        if cull:
+            print(
+                f"WARNING: cull budget exceeded, dropped {cull} candidate "
+                f"instances/triangles before intersection (raise cull_budget / "
+                f"tri_cull_budget — the culled render is only exact at 0 drops)."
+            )
         if hits:
             print(
                 f"WARNING: hit capacity exceeded, dropped {hits} farthest "

@@ -62,14 +62,27 @@ def process(path_in, path_out, subsets=("train",), max_sigma=0.0, dataset_size_i
         names = img_names * dataset_size_increase
         for idx, (name, s) in enumerate(zip(names, sigma)):
             ext = os.path.splitext(name)[-1]
-            if ext != ".png":
-                raise ValueError(f"unsupported filetype {ext} (EXR path needs OpenEXR)")
-            img = read_image(os.path.join(imgs_path, name))
-            out = blur_png(img, s)
             prefix = name.split("_")[0]
-            out_name = prefix + "_" + fmt.format(idx) + ".png"
-            with open(os.path.join(out_subset, out_name), "wb") as f:
-                f.write(encode_png(out))
+            if ext == ".png":
+                img = read_image(os.path.join(imgs_path, name))
+                out = blur_png(img, s)
+                out_name = prefix + "_" + fmt.format(idx) + ".png"
+                with open(os.path.join(out_subset, out_name), "wb") as f:
+                    f.write(encode_png(out))
+            elif ext == ".exr":
+                # Linear premultiplied HDR: plain gaussian blur, no gamma /
+                # alpha games (reference blur.py:80-93 uses
+                # filtered_downsample with factor 1).
+                from nerftex_tpu.utils.exr import read_exr, write_exr
+
+                img = read_exr(os.path.join(imgs_path, name))
+                out = img.copy()
+                if s > 0:
+                    for c in range(out.shape[-1]):
+                        out[:, :, c] = gaussian_filter(out[:, :, c], sigma=s, mode="constant")
+                write_exr(os.path.join(out_subset, prefix + "_" + fmt.format(idx) + ".exr"), out)
+            else:
+                raise ValueError(f"unsupported filetype {ext}")
 
         frames_out = []
         for i in range(n_imgs_out):

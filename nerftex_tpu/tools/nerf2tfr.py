@@ -41,9 +41,9 @@ def convert(
             raise FileNotFoundError(f"no image for frame {file_path}")
 
         if img_file.endswith(".exr"):
-            import imageio.v3 as iio
+            from nerftex_tpu.utils.exr import read_exr
 
-            arr = np.asarray(iio.imread(img_file), np.float32)
+            arr = np.asarray(read_exr(img_file), np.float32)
             image_feature = tfr.serialize_tensor(arr)
         else:
             with open(img_file, "rb") as f:

@@ -86,6 +86,86 @@ def render_swatch(pose, params, n_geo, size, angle, b_0, b_1, n_steps=192):
     return np.clip(rgba, 0, 1)
 
 
+def make_swatch_renderer_jax(size, angle, b_0, b_1, n_geo, n_steps=192):
+    """Jitted device twin of render_swatch: (pose [4,4], params [P]) ->
+    uint8 RGBA [size,size,4].  Same analytic field / integrator as the numpy
+    path; used to generate full-scale (512^2 x thousands of views) datasets
+    where the host integrator would take hours.  Returns uint8 so only 1
+    byte/px/channel crosses the device tunnel."""
+    import jax
+    import jax.numpy as jnp
+
+    b_0 = jnp.asarray(b_0, jnp.float32)
+    b_1 = jnp.asarray(b_1, jnp.float32)
+    focal = size / np.tan(angle / 2) / 2
+    idx = np.arange(size * size)
+    loc = np.stack([idx // size, idx % size], -1).astype(np.float32)
+
+    @jax.jit
+    def render(pose, params):
+        dirs = jnp.stack(
+            [
+                (loc[:, 1] + 0.5 - 0.5 * size) / focal,
+                -(loc[:, 0] + 0.5 - 0.5 * size) / focal,
+                -jnp.ones(loc.shape[0], jnp.float32),
+            ],
+            -1,
+        )
+        rays_d = jnp.sum(dirs[:, None, :] * pose[:3, :3], -1)
+        rays_o = jnp.broadcast_to(pose[:3, -1], rays_d.shape)
+        rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+        inv_d = 1.0 / rays_d
+        t_a = (b_0 - rays_o) * inv_d
+        t_b = (b_1 - rays_o) * inv_d
+        t0r = jnp.minimum(t_a, t_b).max(-1)
+        t1r = jnp.maximum(t_a, t_b).min(-1)
+        hit = t0r < t1r
+        t0 = jnp.where(hit, t0r, 0.0)
+        t1 = jnp.where(hit, t1r, 0.0)
+
+        zs = t0[:, None] + (t1 - t0)[:, None] * jnp.linspace(0, 1, n_steps)[None]
+        pts = rays_o[:, None, :] + rays_d[:, None, :] * zs[..., None]
+
+        geo = params[:n_geo]
+        app = params[n_geo:-3]
+        light = params[-3:]
+
+        # field_density
+        height = b_0[2] + (0.25 + 0.65 * geo[0]) * (b_1[2] - b_0[2])
+        in_xy = jnp.all((pts[..., :2] > b_0[:2]) & (pts[..., :2] < b_1[:2]), -1)
+        sigma = 25.0 / (1.0 + jnp.exp(-12.0 * (height - pts[..., 2]))) * in_xy
+
+        # field_color (app layout of the numpy twin, n_app >= 3 case)
+        base = jnp.asarray([0.9, 0.55, 0.25], jnp.float32)
+        base = base * (0.4 + 0.6 * app[0]) if app.shape[0] >= 1 else base
+        base = base ** (0.5 + app[1]) if app.shape[0] >= 2 else base
+        ambient = app[2] if app.shape[0] >= 3 else 0.15
+        shade = ambient + 0.85 * jnp.maximum(0.0, -light[2])
+        stripes = 0.75 + 0.25 * jnp.sin(8.0 * pts[..., 0]) * jnp.sin(8.0 * pts[..., 1])
+        color = jnp.clip(base[None, None, :] * (shade * stripes)[..., None], 0, 1)
+
+        dists = jnp.diff(zs, axis=-1)
+        dists = jnp.concatenate([dists, dists[:, -1:]], -1)
+        alpha = 1 - jnp.exp(-sigma * dists)
+        trans = jnp.cumprod(1 - alpha + 1e-10, -1)
+        trans = jnp.concatenate([jnp.ones_like(trans[:, :1]), trans[:, :-1]], -1)
+        w = alpha * trans
+
+        rgb = (w[..., None] * color).sum(1)
+        a = w.sum(1)
+        rgba = jnp.concatenate([rgb, a[:, None]], -1).reshape(size, size, 4)
+        rgba = rgba.at[..., :3].set(
+            jnp.where(
+                rgba[..., 3:] > 1e-5, rgba[..., :3] / jnp.maximum(rgba[..., 3:], 1e-5), 0.0
+            )
+        )
+        rgba = jnp.clip(rgba, 0, 1)
+        return (rgba * 255.0 + 0.5).astype(jnp.uint8)
+
+    return render
+
+
 def make_synthetic_tfrecord(
     path,
     n_images: int = 32,
@@ -96,39 +176,77 @@ def make_synthetic_tfrecord(
     n_parameters=(1, 6),
     radius: float = 5.0,
     seed: int = 0,
+    backend: str = "numpy",
+    imgs_per_shard: int = 0,
+    progress_every: int = 0,
 ):
-    """Write a reference-schema TFRecord of analytic swatch renders."""
+    """Write a reference-schema TFRecord of analytic swatch renders.
+
+    backend='jax' integrates the field on the default JAX device (TPU when
+    available) — required for full-scale datasets (512^2 x 5000 views).
+    imgs_per_shard > 0 shards the output like nerf2tfr --imgs_per_shard."""
     rs = np.random.RandomState(seed)
     np_state = np.random.get_state()
     np.random.seed(seed)
+    render_jax = None
+    if backend == "jax":
+        render_jax = make_swatch_renderer_jax(
+            size, angle, np.asarray(b_0), np.asarray(b_1), n_parameters[0]
+        )
     try:
         hemi = Hemisphere()
         n_geo, n_app = n_parameters
         payloads = []
-        for _ in range(n_images):
+        for i in range(n_images):
             pos = hemi() * radius
             pose = look_at_np(pos)
             params = rs.rand(n_geo + n_app).astype(np.float32)
             if n_app >= 3:
                 light = hemi()
                 params[-3:] = -light  # light direction points downward
-            rgba = render_swatch(pose, params, n_geo, size, angle, np.asarray(b_0), np.asarray(b_1))
+            if render_jax is not None:
+                rgba_u8 = np.asarray(render_jax(pose.astype(np.float32), params))
+                png = _encode_png_u8(rgba_u8)
+            else:
+                rgba = render_swatch(
+                    pose, params, n_geo, size, angle, np.asarray(b_0), np.asarray(b_1)
+                )
+                png = encode_png(rgba)
             payloads.append(
                 tfr.build_example(
                     {
-                        "image": encode_png(rgba),
+                        "image": png,
                         "pose": tfr.serialize_tensor(pose.astype(np.float32)),
                         "angle": float(angle),
                         "parameters": tfr.serialize_tensor(params),
                     }
                 )
             )
+            if progress_every and (i + 1) % progress_every == 0:
+                print(f"  synth {i + 1}/{n_images}", flush=True)
     finally:
         np.random.set_state(np_state)
 
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tfr.write_records(path, payloads)
+    if imgs_per_shard and imgs_per_shard > 0:
+        base, ext = os.path.splitext(path)
+        n_shards = -(-len(payloads) // imgs_per_shard)
+        for s in range(n_shards):
+            shard = f"{base}-{s:05d}-of-{n_shards:05d}{ext}"
+            tfr.write_records(shard, payloads[s * imgs_per_shard : (s + 1) * imgs_per_shard])
+    else:
+        tfr.write_records(path, payloads)
     return path
+
+
+def _encode_png_u8(arr: np.ndarray) -> bytes:
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr, "RGBA").save(buf, format="PNG")
+    return buf.getvalue()
 
 
 if __name__ == "__main__":

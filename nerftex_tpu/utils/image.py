@@ -1,4 +1,4 @@
-"""Image IO: PNG via PIL, EXR gated on OpenEXR/imageio availability.
+"""Image IO: PNG via PIL, EXR via the vendored codec (utils/exr.py).
 
 Replaces tf.image.decode_image / tf.io.encode_png / pyexr in the reference
 (network/dataset.py:104, network/logger.py:139-144)."""
@@ -43,11 +43,14 @@ def write_image(path: str, img: np.ndarray) -> None:
 
 
 def write_exr(path: str, img: np.ndarray) -> None:
-    """HDR output; uses imageio's EXR plugin when present, else falls back to
-    a raw .npy sidecar (documented deviation — pyexr is not in this image)."""
-    try:
-        import imageio.v3 as iio
+    """HDR output as a real OpenEXR file (reference: pyexr write,
+    network/logger.py:141-144) via the vendored codec in utils/exr.py."""
+    from nerftex_tpu.utils.exr import write_exr as _write
 
-        iio.imwrite(path, np.asarray(img, np.float32))
-    except Exception:
-        np.save(path + ".npy", np.asarray(img, np.float32))
+    _write(path, img)
+
+
+def read_exr(path: str) -> np.ndarray:
+    from nerftex_tpu.utils.exr import read_exr as _read
+
+    return _read(path)

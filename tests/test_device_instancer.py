@@ -459,15 +459,24 @@ def test_cull_budget_bitexact_when_covering(assets):
     key = jax.random.key(11)
     n = build(0).n_instances()
     oa = build(0).get_model_input_dict(rays_o, rays_d, prm, 48, 0.02, key=key)
-    ob = build(n).get_model_input_dict(rays_o, rays_d, prm, 48, 0.02, key=key)
+    # Budget n-1 is strictly below n_instances, so the cull branch is
+    # actually taken (device.py guard: max(C, K) < n_instances) — budget n
+    # would silently fall back to the uncull path and compare it to itself.
+    ob = build(n - 1).get_model_input_dict(rays_o, rays_d, prm, 48, 0.02, key=key)
+    # The bit-exactness premise — the budget covers every per-block
+    # candidate — is checked, not assumed.
+    assert int(ob["overflow_cull"]) == 0, "cull budget n-1 dropped candidates"
     for k in sorted(oa):
+        if k == "overflow_cull":
+            continue
         va, vb = np.asarray(oa[k]), np.asarray(ob[k])
         assert np.array_equal(va, vb, equal_nan=True), f"{k} differs under culling"
 
 
 def test_tri_cull_budget_bitexact_when_covering(assets):
     """Triangle-soup culling with a covering budget leaves the mesh
-    first-hit (terminator) results bit-identical."""
+    first-hit (terminator) results equivalent: discrete outputs exact,
+    floats within f32-epsilon compile variance."""
     from nerftex_tpu.instancing.instancer import Instancer
     from nerftex_tpu.utils import rng
 
@@ -488,7 +497,24 @@ def test_tri_cull_budget_bitexact_when_covering(assets):
     key = jax.random.key(5)
     n_tris = build(0).device.ds.n_tris
     oa = build(0).get_model_input_dict(rays_o, rays_d, prm, 48, 0.02, key=key)
-    ob = build(n_tris).get_model_input_dict(rays_o, rays_d, prm, 48, 0.02, key=key)
+    # n_tris - 1 is strictly below the guard (device.py: TC < ds.n_tris), so
+    # the tri-cull branch actually runs; zero drops checks the covering
+    # premise instead of assuming it.
+    ob = build(n_tris - 1).get_model_input_dict(rays_o, rays_d, prm, 48, 0.02, key=key)
+    assert int(ob["overflow_cull"]) == 0, "tri cull budget n-1 dropped candidates"
     for k in sorted(oa):
+        if k == "overflow_cull":
+            continue
         va, vb = np.asarray(oa[k]), np.asarray(ob[k])
-        assert np.array_equal(va, vb, equal_nan=True), f"{k} differs under tri culling"
+        if va.dtype.kind == "f":
+            # Moller-Trumbore over the gathered [R, TC] candidate subset can
+            # compile with different fma contraction than the full [R, n_tris]
+            # layout, perturbing t_mesh at f32-epsilon scale (observed: 4 of
+            # 128*48 dists entries off by <= 5e-7).  Discrete outputs
+            # (instance ids, hit masks) below must still match exactly.
+            np.testing.assert_allclose(
+                np.nan_to_num(va), np.nan_to_num(vb), atol=1e-6, rtol=1e-5,
+                err_msg=f"{k} differs under tri culling",
+            )
+        else:
+            assert np.array_equal(va, vb), f"{k} differs under tri culling"
