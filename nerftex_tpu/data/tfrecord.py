@@ -296,4 +296,8 @@ def list_tfrecord_files(tfr_path: str) -> list:
         return sorted(
             os.path.join(tfr_path, name) for name in os.listdir(tfr_path)
         )
+    if any(c in tfr_path for c in "*?["):
+        import glob
+
+        return sorted(glob.glob(tfr_path))
     return [tfr_path]

@@ -1451,17 +1451,34 @@ class DeviceInstancer:
 
     def _shadow_query(self, pts, light_dir):
         """Batched occlusion query (instancer.cpp:593-602 + filter :544-554).
-        pts [..., 3], light_dir [..., 3] -> blocked [...]."""
+        pts [..., 3], light_dir [..., 3] -> blocked [...].
+
+        The local-frame transforms are broadcast multiply-adds, NOT matmuls:
+        a matmul is an XLA fusion boundary, so the [rays, Ssh, N] plane
+        values would materialize in HBM (3 x 400 MB at plush scale) and the
+        face tests would re-stream them — measured ~46% of the grass/plush
+        frames (docs/PERF.md §2.4).  In broadcast form the whole box test
+        fuses into the any-reduction like the Moller-Trumbore test does,
+        and the [.., N] intermediates never leave registers/VMEM."""
         ds = self.ds
-        # Componentwise [..., N] planes (lane-padding avoidance, see
-        # _moller_trumbore note).
-        rot = ds.inv_rot
-        o_lx = pts @ rot[:, 0, :].T + ds.inv_trans[:, 0]
-        o_ly = pts @ rot[:, 1, :].T + ds.inv_trans[:, 1]
-        o_lz = pts @ rot[:, 2, :].T + ds.inv_trans[:, 2]
-        d_lx = light_dir @ rot[:, 0, :].T
-        d_ly = light_dir @ rot[:, 1, :].T
-        dz = light_dir @ rot[:, 2, :].T
+        rot = ds.inv_rot                                             # [N,3,3]
+        p = pts[..., None]                                           # [..,3,1]
+        l = light_dir[..., None]                                     # [..,3,1]
+
+        def row(c, vec, trans):
+            return (
+                vec[..., 0, :] * rot[:, c, 0]
+                + vec[..., 1, :] * rot[:, c, 1]
+                + vec[..., 2, :] * rot[:, c, 2]
+                + (ds.inv_trans[:, c] if trans else 0.0)
+            )
+
+        o_lx = row(0, p, True)
+        o_ly = row(1, p, True)
+        o_lz = row(2, p, True)
+        d_lx = row(0, l, False)
+        d_ly = row(1, l, False)
+        dz = row(2, l, False)
 
         safe_dz = jnp.where(jnp.abs(dz) < 1e-12, 1e-12, dz)
 

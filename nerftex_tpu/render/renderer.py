@@ -26,13 +26,19 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def chunked_apply(apply_fn, params, inputs, net_chunk: int):
+def chunked_apply(apply_fn, params, inputs, net_chunk: int, remat: bool = False):
     """Evaluate apply_fn(params, *inputs) over the leading axis in
     mini-batches of net_chunk (lax.map keeps peak activation memory at one
-    chunk).  inputs: tuple of [N, ...] arrays; outputs concatenated back."""
+    chunk).  inputs: tuple of [N, ...] arrays; outputs concatenated back.
+
+    remat=True wraps the chunk body in jax.checkpoint: backward recomputes
+    the chunk's activations instead of stacking every layer into
+    [n_chunks, net_chunk, width] loop-carried buffers — the dynamic-update-
+    slice stacking was measured at 36% of the train step (docs/PERF.md §1)."""
     n = inputs[0].shape[0]
+    body = jax.checkpoint(apply_fn) if remat else apply_fn
     if n <= net_chunk:
-        return apply_fn(params, *inputs)
+        return body(params, *inputs)
 
     n_pad = _round_up(n, net_chunk)
     padded = tuple(
@@ -43,7 +49,7 @@ def chunked_apply(apply_fn, params, inputs, net_chunk: int):
     )
     stacked = tuple(x.reshape((n_pad // net_chunk, net_chunk) + x.shape[1:]) for x in padded)
 
-    outs = jax.lax.map(lambda xs: apply_fn(params, *xs), stacked)
+    outs = jax.lax.map(lambda xs: body(params, *xs), stacked)
     outs = jax.tree.map(lambda o: o.reshape((n_pad,) + o.shape[2:])[:n], outs)
     return outs
 
@@ -66,6 +72,7 @@ class Renderer:
         downsampling_factor: int = 1,
         blur_idx: int = None,
         map_exr: bool = False,
+        remat_net_chunks: bool = False,
         **kwargs,
     ) -> None:
         self.model = model
@@ -79,6 +86,10 @@ class Renderer:
         self.downsampling_factor = downsampling_factor
         self.blur_idx = blur_idx
         self.map_exr = map_exr
+        # jax.checkpoint the net_chunk bodies: backward recomputes chunk
+        # activations instead of stacking them across the lax.map (trades
+        # one extra MLP forward for the 36%-of-step DUS traffic, PERF.md §1).
+        self.remat_net_chunks = remat_net_chunks
         self._call_counter = 0
         self._jit_cache = {}
 
@@ -203,7 +214,8 @@ class Renderer:
             )
 
         color, density = chunked_apply(
-            model.apply, model_params, (pos_flat, dirs_flat, params_flat), self.net_chunk
+            model.apply, model_params, (pos_flat, dirs_flat, params_flat),
+            self.net_chunk, remat=self.remat_net_chunks,
         )
         return color.reshape(r, s, 3), density.reshape(r, s)
 

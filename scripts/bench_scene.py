@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--dense", action="store_true", help="disable sorted-block path")
     ap.add_argument("--cull", type=int, default=0, help="instancer cull_budget (0 = off)")
     ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--trace", default=None, help="capture a jax.profiler trace of one warm frame into DIR")
     args = ap.parse_args()
 
     import numpy as np
@@ -100,6 +101,12 @@ def main():
         f"frac>0.1 {(a > 0.1).mean():.3f}",
         flush=True,
     )
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            out = renderer(**data, training=False, key=jax.random.key(1))
+            jax.block_until_ready(out["color_pred"])
+        print(f"trace -> {args.trace}", flush=True)
 
 
 if __name__ == "__main__":

@@ -25,6 +25,17 @@ def main():
         help="model compute dtype (bfloat16 = mixed precision: bf16 matmuls/"
              "activations, f32 master params + Adam state)",
     )
+    ap.add_argument("--trace", default=None, help="capture a jax.profiler trace of one warm K-step program into DIR")
+    ap.add_argument(
+        "--net-chunk", type=int, default=65536,
+        help="MLP minibatch; >= 262144 evaluates the whole step in one batch "
+             "(no scan, no activation stacking — see docs/PERF.md)",
+    )
+    ap.add_argument(
+        "--remat", action="store_true",
+        help="jax.checkpoint the net_chunk bodies (recompute instead of "
+             "stacking activations, docs/PERF.md §1)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -51,7 +62,8 @@ def main():
     }))
     renderer = util.instantiate(EasyDict({
         "module": "network.renderer.Renderer",
-        "n_samples": 256, "render_chunk": 32768, "net_chunk": 65536,
+        "n_samples": 256, "render_chunk": 32768, "net_chunk": args.net_chunk,
+        "remat_net_chunks": args.remat,
         "perturb": True, "raw_noise_std": 0.0, **models,
     }))
     loss_fn = util.instantiate(EasyDict({
@@ -112,6 +124,12 @@ def main():
         dt = time.perf_counter() - t0
         print(f"{args.k} steps: {dt:.2f}s -> {args.k/dt:.1f} steps/s "
               f"(loss {float(loss):.4f})", flush=True)
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            params, opt_state, key, loss = run_k(params, opt_state, key)
+            jax.block_until_ready(loss)
+        print(f"trace -> {args.trace}", flush=True)
 
 
 if __name__ == "__main__":

@@ -81,6 +81,22 @@ def make_grass_filtered(force):
         print(f"[done] {path}")
 
 
+def make_carpet_full(force):
+    """Full-scale carpet dataset: 5000 views at 512^2 (the reference's
+    as-shipped scale, data/configs/config_carpet.py: 5000 views, 512px).
+    Rendered on the default JAX device (TPU) — the host integrator would
+    take hours at this size; PNG encoding still dominates (~15 min)."""
+    out = os.path.join("datasets", "materials", "carpet_full", "tfr", "train.tfr")
+    if os.path.exists(out.replace(".tfr", ".tfr-00000-of-00050")) and not force:
+        print("[skip] datasets/materials/carpet_full exists")
+        return
+    make_synthetic_tfrecord(
+        out, n_images=5000, size=512, n_parameters=(1, 6), seed=0,
+        backend="jax", imgs_per_shard=100, progress_every=250,
+    )
+    print(f"[done] {out} (5000 views @ 512px, 50 shards)")
+
+
 def make_paired(force):
     train = os.path.join("datasets", "paired", "train.tfr")
     test = os.path.join("datasets", "paired", "test.tfr")
@@ -95,13 +111,13 @@ def make_paired(force):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None, help="comma-separated subset of: "
-                    + ",".join(list(SYNTH_MATERIALS) + ["grass_filtered", "paired"]))
+                    + ",".join(list(SYNTH_MATERIALS) + ["grass_filtered", "paired", "carpet_full"]))
     ap.add_argument("--force", action="store_true", help="regenerate even if present")
     args = ap.parse_args()
 
     targets = args.only.split(",") if args.only else list(SYNTH_MATERIALS) + [
         "grass_filtered", "paired"
-    ]
+    ]  # carpet_full (5000 x 512^2, ~20 min on the chip) is opt-in via --only
     for name in targets:
         if name in SYNTH_MATERIALS:
             make_synth(name, args.force)
@@ -109,6 +125,8 @@ def main():
             make_grass_filtered(args.force)
         elif name == "paired":
             make_paired(args.force)
+        elif name == "carpet_full":
+            make_carpet_full(args.force)
         else:
             raise SystemExit(f"unknown dataset {name!r}")
 

@@ -187,3 +187,28 @@ def test_losses():
     nl = NerfLoss()
     val2 = float(nl(color_true, color_pred, color_pred_coarse=color_pred))
     np.testing.assert_allclose(val2, 2 * np.mean((color_true - color_pred) ** 2), atol=1e-6)
+
+
+def test_remat_net_chunks_matches_plain_gradients():
+    """remat_net_chunks (jax.checkpoint over the net_chunk lax.map bodies,
+    docs/PERF.md §1) must leave outputs and gradients numerically unchanged."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerftex_tpu.render.renderer import chunked_apply
+
+    rs = np.random.RandomState(0)
+    params = {"w": jnp.asarray(rs.randn(8, 16).astype(np.float32))}
+    x = jnp.asarray(rs.randn(40, 8).astype(np.float32))
+
+    def apply_fn(p, v):
+        return jnp.tanh(v @ p["w"]) @ p["w"].T
+
+    def loss(p, remat):
+        return jnp.sum(chunked_apply(apply_fn, p, (x,), 16, remat=remat) ** 2)
+
+    out0, out1 = loss(params, False), loss(params, True)
+    np.testing.assert_allclose(float(out0), float(out1), rtol=1e-6)
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    np.testing.assert_allclose(np.asarray(g0["w"]), np.asarray(g1["w"]), rtol=1e-4, atol=1e-4)

@@ -241,3 +241,24 @@ def test_prefiltered_chain_end_to_end(tmp_path):
     got = [float(np.asarray(b["parameters"])[0, 0]) for b in dataset]
     assert len(got) == 3
     np.testing.assert_allclose(sorted(got), sorted(sigmas), rtol=1e-6)
+
+
+def test_synth_jax_backend_matches_numpy():
+    """The device (jax) swatch renderer agrees with the host integrator to
+    u8 quantization noise (<= 2 levels; float order-of-ops differs)."""
+    import jax
+
+    from nerftex_tpu.tools.synth import render_swatch, make_swatch_renderer_jax
+    from nerftex_tpu.data.dataset import look_at_np
+
+    b0 = np.float32([-1.5, -1.3, -0.2])
+    b1 = np.float32([1.3, 1.3, 1.9])
+    pose = look_at_np(np.array([2.0, -2.5, 2.2], np.float32)).astype(np.float32)
+    params = np.float32([0.7, 0.3, 0.8, 0.2, 0.1, -0.2, -0.9])
+
+    ref = render_swatch(pose, params, 1, 48, 0.63, b0, b1)
+    ref_u8 = np.clip(ref * 255 + 0.5, 0, 255).astype(np.int32)
+    out = np.asarray(make_swatch_renderer_jax(48, 0.63, b0, b1, 1)(pose, params)).astype(np.int32)
+    d = np.abs(out - ref_u8)
+    assert d.max() <= 2, f"jax synth backend diverges: max {d.max()} u8 levels"
+    assert (d > 0).mean() < 0.2, "jax synth backend differs on too many pixels"
