@@ -22,7 +22,7 @@ from configs.config_carpet_train import config as _stock
 config = copy.deepcopy(_stock)
 config["target_path"] = "logs/carpet_full"
 config["train_dataset_config"]["data_loader_config"].update(
-    {"tfr_path": "datasets/materials/carpet_full/tfr/train.tfr*", "cache_size": 5000}
+    {"tfr_path": "datasets/materials/carpet_full/tfr", "cache_size": 5000}
 )
 config["val_dataset_config"]["data_loader_config"].update({"height": 256, "width": 256})
 config["logger_config"].update(
