@@ -28,7 +28,8 @@ class CheckpointManager:
         self.max_to_keep = max_to_keep
         self.keep_every_n_seconds = keep_every_n_hours * 3600
         os.makedirs(directory, exist_ok=True)
-        self._kept_times = []
+        self._save_times = {}
+        self._preserved = set()  # steps kept PERMANENTLY (hourly policy)
         self._last_preserved = None
 
     # -- naming --------------------------------------------------------
@@ -64,19 +65,26 @@ class CheckpointManager:
             pickle.dump(state_np, f, protocol=pickle.HIGHEST_PROTOCOL)
         os.replace(tmp, path)
 
+        self._save_times[step] = time.time()
         self._sweep(step)
         return path
 
     def _sweep(self, new_step: int) -> None:
+        """tf.train.CheckpointManager retention: the newest max_to_keep stay;
+        an older checkpoint about to be deleted is instead preserved
+        PERMANENTLY if keep_every_n_hours have elapsed since the last
+        preserved one (the hourly clock starts at the first save)."""
         now = time.time()
-        steps = self.checkpoints()
-        # Preserve one checkpoint every keep_every_n_hours.
-        if self._last_preserved is None or now - self._last_preserved >= self.keep_every_n_seconds:
-            self._last_preserved = now
-            return  # the newest stays outside the deletion budget this round
-        extra = [s for s in steps if s != new_step]
-        while len(extra) + 1 > self.max_to_keep:
-            victim = extra.pop(0)
+        if self._last_preserved is None:
+            self._last_preserved = self._save_times.get(new_step, now)
+        active = [s for s in self.checkpoints() if s not in self._preserved]
+        while len(active) > self.max_to_keep:
+            victim = active.pop(0)
+            t = self._save_times.get(victim, now)
+            if t - self._last_preserved >= self.keep_every_n_seconds:
+                self._preserved.add(victim)
+                self._last_preserved = t
+                continue
             try:
                 os.remove(self._path(victim))
             except OSError:

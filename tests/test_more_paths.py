@@ -136,6 +136,38 @@ def test_checkpoint_retention(tmp_path):
     np.testing.assert_array_equal(restored["v"], [7, 7, 7])
 
 
+def test_checkpoint_hourly_preservation_is_permanent(tmp_path, monkeypatch):
+    """keep_every_n_hours preserves a checkpoint PERMANENTLY (reference
+    tf.train.CheckpointManager semantics) — later sweeps must not delete it.
+    Round-3 regression: the old sweep only skipped one deletion round."""
+    import nerftex_tpu.render.checkpoint as ck
+
+    clock = [1000.0]
+    monkeypatch.setattr(ck.time, "time", lambda: clock[0])
+
+    mgr = ck.CheckpointManager(str(tmp_path / "ck"), max_to_keep=2, keep_every_n_hours=1)
+    # One save every 20 minutes for 4 hours of fake time.
+    for i, step in enumerate(range(1, 13)):
+        clock[0] = 1000.0 + i * 1200.0
+        mgr.save({"v": np.full(2, step)}, step)
+
+    kept = sorted(mgr.checkpoints())
+    # Newest two always kept.
+    assert kept[-2:] == [11, 12]
+    # Hourly preserved checkpoints survive every later sweep: with the clock
+    # starting at step 1's save, the first eviction candidate >= 1h later is
+    # preserved, then again each following hour (steps 20min apart -> every
+    # 4th candidate less clock skew).
+    preserved = kept[:-2]
+    assert len(preserved) >= 3, f"expected >=3 hourly-preserved, got {kept}"
+    times = [1000.0 + (s - 1) * 1200.0 for s in preserved]
+    assert all(b - a >= 3600.0 for a, b in zip(times, times[1:])), kept
+    # And they are real, restorable files.
+    assert all(
+        os.path.exists(os.path.join(str(tmp_path / "ck"), f"ckpt-{s}.pkl")) for s in kept
+    )
+
+
 def test_logger_downsampling_factor(tmp_path):
     """downsampling_factor filters + shrinks the rendered validation image
     (logger.py:129-130)."""
