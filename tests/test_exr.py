@@ -115,3 +115,43 @@ def test_logger_writes_real_exr_validation_render(tmp_path):
     assert not glob.glob(os.path.join(str(tmp_path), "**", "*.npy"), recursive=True), (
         "npy sidecar fallback should be gone"
     )
+
+
+def test_exr_folder_to_tfrecord_to_dataset(tmp_path):
+    """End-to-end HDR path with real .exr files: write EXR renders + poses,
+    convert via nerf2tfr (reads them with the vendored codec), load through
+    the TFRecord dataset with read_exr=True — HDR values survive exactly."""
+    import json
+
+    from nerftex_tpu.tools.nerf2tfr import convert
+    from nerftex_tpu.data.dataset import TFRecord
+
+    rs = np.random.RandomState(0)
+    imgs = []
+    frames = []
+    for i in range(3):
+        img = (rs.rand(6, 6, 4).astype(np.float32) * 3.0)  # HDR range
+        name = f"r_{i}"
+        write_exr(str(tmp_path / f"{name}.exr"), img)
+        imgs.append(img)
+        frames.append({
+            "file_path": name,
+            "transform_matrix": np.eye(4).tolist(),
+            "driver_parameters": {"A": 0.5, "B": float(i)},
+        })
+    with open(tmp_path / "transforms_train.json", "w") as f:
+        json.dump({"camera_angle_x": 0.6, "frames": frames}, f)
+
+    out = str(tmp_path / "tfr" / "train.tfr")
+    written = convert(str(tmp_path), out, "train")
+    assert written
+
+    source, h, w, focal, composite_bkgd, _ = TFRecord(out, read_exr=True)
+    assert (h, w) == (6, 6)
+    assert composite_bkgd is False  # forced off for HDR (dataset.py:126-127)
+    for i in range(3):
+        rec = source[i]
+        np.testing.assert_array_equal(rec["image"], imgs[i][..., :3])
+        np.testing.assert_array_equal(rec["alpha"], imgs[i][..., 3])
+        np.testing.assert_array_equal(rec["parameters"], [0.5, float(i)])
+    assert rec["image"].max() > 1.0  # HDR survived (no 8-bit clamp)
