@@ -15,5 +15,5 @@ config["renderer_config"]["render_chunk"] = 262144
 # knobs max_hits=48/cap=320/cull=448 drop hits on these poses — the showcase
 # favors exactness over speed).
 config["renderer_config"]["instancer_config"].update(
-    {"max_hits": 96, "ray_block": 1024, "max_steps_per_ray": 512}
+    {"max_hits": 96, "ray_block": 1024, "max_steps_per_ray": 1024}
 )
