@@ -235,9 +235,15 @@ def Dataset(
     shuffle_buffer_size: int = 1,
     step=None,
     prefetch: int = 2,
+    device_resident: bool = False,
 ) -> RayDataset:
     """Compose loader + pixel sampler + ray sampler + proxy into a batched
-    ray dataset (dataset.py:10-75)."""
+    ray dataset (dataset.py:10-75).
+
+    device_resident=True (framework extension, data/device_dataset.py)
+    additionally uploads the decoded dataset to HBM and attaches a
+    `device_sampler` whose per-step sampling runs inside the training jit —
+    the host pipeline below stays available for the logger/debug."""
     source, height, width, focal, composite_bkgd, bkgd_color = util.instantiate(
         data_loader_config
     )
@@ -291,6 +297,21 @@ def Dataset(
     content = "rays_o" if "rays_o" in first else "color"
     dataset.n_samples = first[content].shape[0]
     dataset.n_parameters = first["parameters"].shape[-1]
+
+    if device_resident:
+        from nerftex_tpu.data.device_dataset import DeviceResidentSampler
+
+        dataset.device_sampler = DeviceResidentSampler(
+            source,
+            pixel_sampler,
+            ray_sampler,
+            batchsize,
+            height,
+            width,
+            focal,
+            composite_bkgd,
+            bkgd_color,
+        )
 
     return dataset
 

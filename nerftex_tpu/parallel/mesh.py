@@ -130,6 +130,67 @@ def make_parallel_train_step(
     return jitted, place_params, place_batch
 
 
+def make_parallel_fused_train_step(
+    renderer, loss_fn, optimizer, sampler, mesh: Mesh,
+    composite_bkgd, bkgd_color, params,
+    shard_model: bool = False,
+):
+    """Device-resident data pipeline + mesh parallelism: the dataset tables
+    replicate across the mesh and per-step sampling runs inside the sharded
+    jit (data/device_dataset.py).  The sampled batch is constrained to the
+    dp ray sharding so the renderer/grads partition exactly like
+    make_parallel_train_step; the sampling math itself is negligible and
+    runs replicated.
+
+    Returns (step_fn, place_params, place_tables)."""
+
+    if shard_model:
+        param_sharding = model_shardings(params, mesh)
+    else:
+        param_sharding = jax.tree.map(lambda _: replicated(mesh), params)
+
+    tables_sharding = jax.tree.map(lambda _: replicated(mesh), sampler.tables)
+    example = jax.eval_shape(
+        lambda t, k: sampler.sample_from(t, k), sampler.tables, jax.random.key(0)
+    )
+    batch_shardings = batch_sharding(mesh, example)
+
+    def loss_of(p, batch, key):
+        pred = renderer.apply(
+            p, batch, key,
+            composite_bkgd=composite_bkgd, bkgd_color=bkgd_color, training=True,
+        )
+        return loss_fn(
+            color_true=batch.get("color"), alpha_true=batch.get("alpha"), **pred
+        )
+
+    def step_fn(p, opt_state, tables, data_key, key):
+        batch = sampler.sample_from(tables, data_key)
+        batch = {
+            k: jax.lax.with_sharding_constraint(v, batch_shardings[k])
+            for k, v in batch.items()
+        }
+        loss, grads = jax.value_and_grad(loss_of)(p, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, p)
+        p = optax.apply_updates(p, updates)
+        return p, opt_state, loss
+
+    jitted = jax.jit(
+        step_fn,
+        in_shardings=(param_sharding, None, tables_sharding, None, None),
+        out_shardings=(param_sharding, None, None),
+        donate_argnums=(0, 1),
+    )
+
+    def place_params(p):
+        return jax.tree.map(_put_global, p, param_sharding)
+
+    def place_tables():
+        return jax.tree.map(_put_global, sampler.tables, tables_sharding)
+
+    return jitted, place_params, place_tables
+
+
 def _put_global(value, sharding):
     """Place a host array under a sharding that may span processes.
 

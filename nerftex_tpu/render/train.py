@@ -60,6 +60,78 @@ def make_train_step(renderer, loss_fn, optimizer, composite_bkgd, bkgd_color, do
     return jax.jit(step_fn, donate_argnums=(0, 1) if donate else ())
 
 
+def make_fused_train_step(
+    renderer, loss_fn, optimizer, sampler, composite_bkgd, bkgd_color, donate=True
+):
+    """Device-resident variant: batch sampling happens INSIDE the jit
+    (data/device_dataset.py), so a step is (params, opt_state, tables,
+    data_key, perturb_key) -> (params, opt_state, loss) — one dispatch,
+    zero steady-state host transfers.  The dataset tables ride through as
+    ordinary jit ARGUMENTS (already device-resident, so passing them is
+    free) — closure capture would bake multi-GB constants into the HLO."""
+
+    def loss_of(params, batch, key):
+        pred = renderer.apply(
+            params, batch, key,
+            composite_bkgd=composite_bkgd, bkgd_color=bkgd_color, training=True,
+        )
+        return loss_fn(
+            color_true=batch.get("color"), alpha_true=batch.get("alpha"), **pred
+        )
+
+    def step_fn(params, opt_state, tables, data_key, key):
+        batch = sampler.sample_from(tables, data_key)
+        loss, grads = jax.value_and_grad(loss_of)(params, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step_fn, donate_argnums=(0, 1) if donate else ())
+
+
+def make_fused_multi_step(
+    renderer, loss_fn, optimizer, sampler, composite_bkgd, bkgd_color, donate=True
+):
+    """K train steps in ONE device program (lax.fori_loop over the fused
+    step), returning the per-step losses [K].  Only possible because the
+    data pipeline is device-resident: nothing on the host is needed between
+    steps, so dispatch/sync overhead amortizes over the whole chunk.
+
+    (params, opt_state, tables, data_base_key, perturb_base_key, start_step,
+    K) -> (params, opt_state, losses[K]); keys are folded with the ABSOLUTE
+    step index inside the loop, so a K-chunked run is bit-identical to the
+    single-step path and to any resume point."""
+
+    def loss_of(params, batch, key):
+        pred = renderer.apply(
+            params, batch, key,
+            composite_bkgd=composite_bkgd, bkgd_color=bkgd_color, training=True,
+        )
+        return loss_fn(
+            color_true=batch.get("color"), alpha_true=batch.get("alpha"), **pred
+        )
+
+    def chunk_fn(params, opt_state, tables, data_base_key, perturb_base_key, start_step, losses):
+        def body(i, carry):
+            params, opt_state, losses = carry
+            step = start_step + i
+            batch = sampler.sample_from(tables, jax.random.fold_in(data_base_key, step))
+            loss, grads = jax.value_and_grad(loss_of)(
+                params, batch, jax.random.fold_in(perturb_base_key, step)
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, losses.at[i].set(loss)
+
+        return jax.lax.fori_loop(
+            0, losses.shape[0], body, (params, opt_state, losses)
+        )
+
+    # K is carried via the donated losses buffer's static shape; start_step
+    # arrives as a traced scalar so chunk starts don't retrigger compiles.
+    return jax.jit(chunk_fn, donate_argnums=(0, 1, 6) if donate else ())
+
+
 def Train(
     target_path: str,
     train_dataset_config: EasyDict,
@@ -71,6 +143,7 @@ def Train(
     lrate_decay: float,
     renderer_config: EasyDict,
     logger_config: EasyDict,
+    steps_per_dispatch: int = 1,
     **kwargs,
 ) -> None:
     """Set up and run supervised training (train.py:7-70)."""
@@ -117,19 +190,80 @@ def Train(
         state.opt_state = optimizer.init(params)
     opt_state = state.opt_state
 
-    train_step = make_train_step(
-        renderer, loss_fn, optimizer,
-        train_dataset.composite_bkgd, train_dataset.bkgd_color,
-    )
-
     n_remaining = int(n_iters) - logger.step
     base_key = rng.stream_key(rng.STREAM_PERTURB)
 
-    for data in train_dataset.take(n_remaining):
-        batch = {k: jnp.asarray(v) for k, v in data.items()}
+    device_sampler = getattr(train_dataset, "device_sampler", None)
+
+    if device_sampler is not None and int(steps_per_dispatch) > 1:
+        # Chunked fused path: K steps per device program (framework
+        # extension; needs device_resident data).  Host actions (validation
+        # renders, checkpoints) keep their exact cadence: each chunk is
+        # clipped to the next i_img/i_checkpoint boundary so the logger only
+        # crosses one inside a drained chunk.  Per-step profiling windows
+        # (i_trace) need steps_per_dispatch=1.
+        multi_step = make_fused_multi_step(
+            renderer, loss_fn, optimizer, device_sampler,
+            train_dataset.composite_bkgd, train_dataset.bkgd_color,
+        )
+        data_base_key = rng.stream_key(rng.STREAM_DATA)
+        tables = device_sampler.tables
+        cadences = [
+            int(c) for c in (logger.i_img, logger.i_checkpoint) if c and int(c) > 0
+        ]
+        losses_buf = None
+        step_idx = logger.step
+        end = int(n_iters)
+        while step_idx < end:
+            k = min(int(steps_per_dispatch), end - step_idx)
+            for c in cadences:
+                k = min(k, c - step_idx % c)
+            if losses_buf is None or losses_buf.shape[0] != k:
+                losses_buf = jnp.zeros((k,), jnp.float32)
+            params, opt_state, losses_buf = multi_step(
+                params, opt_state, tables, data_base_key, base_key, step_idx, losses_buf
+            )
+            losses_np = np.asarray(losses_buf)
+
+            for name, model in models.items():
+                model.params = params[name]
+            state.opt_state = opt_state
+            for j in range(k):
+                state.step = logger.step + 1
+                logger({"Loss": losses_np[j]})
+            step_idx += k
+
+        for name, model in models.items():
+            model.params = params[name]
+        state.opt_state = opt_state
+        return models
+
+    if device_sampler is not None:
+        train_step = make_fused_train_step(
+            renderer, loss_fn, optimizer, device_sampler,
+            train_dataset.composite_bkgd, train_dataset.bkgd_color,
+        )
+        data_base_key = rng.stream_key(rng.STREAM_DATA)
+        start_step = logger.step
+        tables = device_sampler.tables
+        batches = (
+            (tables, jax.random.fold_in(data_base_key, start_step + i))
+            for i in range(n_remaining)
+        )
+    else:
+        train_step = make_train_step(
+            renderer, loss_fn, optimizer,
+            train_dataset.composite_bkgd, train_dataset.bkgd_color,
+        )
+        batches = (
+            ({k: jnp.asarray(v) for k, v in data.items()},)
+            for data in train_dataset.take(n_remaining)
+        )
+
+    for step_args in batches:
         key = jax.random.fold_in(base_key, logger.step)
 
-        params, opt_state, loss = train_step(params, opt_state, batch, key)
+        params, opt_state, loss = train_step(params, opt_state, *step_args, key)
 
         # Expose live state to the logger (val renders + checkpoints).
         for name, model in models.items():

@@ -16,6 +16,14 @@ def decode_png(data: bytes) -> np.ndarray:
     return np.asarray(img, np.float32) / 255.0
 
 
+def decode_png_u8(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 [H,W,4] RGBA — the pre-normalization half of
+    decode_png, for device-resident storage (data/device_dataset.py)."""
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(data)).convert("RGBA"), np.uint8)
+
+
 def encode_png(img: np.ndarray) -> bytes:
     """float32 [H,W,C] in [0,1] -> PNG bytes."""
     from PIL import Image

@@ -241,3 +241,63 @@ def test_dryrun_multichip_self_provisions_subprocess():
     # Call the subprocess path directly: it must provision 4 virtual CPU
     # devices in a child process and run the sharded step there.
     ge._dryrun_in_cpu_subprocess(4)
+
+
+def test_fused_dp_step_matches_single_device():
+    """Device-resident sampling inside the SHARDED jit (tables replicated,
+    sampled batch dp-constrained) must match the single-device fused step."""
+    from math import tan
+
+    from nerftex_tpu.data.dataset import ListSource, look_at_np
+    from nerftex_tpu.data.device_dataset import DeviceResidentSampler
+    from nerftex_tpu.data.pixel_sampler import Proxy as ProxyPixels
+    from nerftex_tpu.data.ray_sampler import Proxy as ProxyRays
+    from nerftex_tpu.ops.proxy import AABB
+    from nerftex_tpu.parallel.mesh import make_parallel_fused_train_step
+    from nerftex_tpu.render.train import make_fused_train_step
+
+    models, renderer, loss_fn, optimizer = _setup()
+    params = {"model": models["model"].params}
+
+    rs = np.random.RandomState(5)
+    size, angle = 16, 0.63
+    focal = size / tan(angle / 2) / 2
+    records = []
+    for _ in range(4):
+        direction = rs.randn(3)
+        direction[2] = abs(direction[2]) + 0.3
+        records.append(
+            {
+                "image": rs.rand(size, size, 3).astype(np.float32),
+                "alpha": rs.rand(size, size).astype(np.float32),
+                "pose": look_at_np(direction / np.linalg.norm(direction) * 5.0),
+                "parameters": rs.rand(7).astype(np.float32),
+            }
+        )
+    proxy = AABB([-1.5, -1.3, -0.2], [1.3, 1.3, 1.9])
+    sampler = DeviceResidentSampler(
+        ListSource(records),
+        ProxyPixels(height=size, width=size, n_samples=32, proxy=proxy,
+                    focal=focal, downsample_factor=2),
+        ProxyRays(height=size, width=size, focal=focal, proxy=proxy),
+        batchsize=2, height=size, width=size, focal=focal,
+        composite_bkgd=False, bkgd_color=[1, 1, 1.0],
+    )
+
+    data_key, key = jax.random.key(11), jax.random.key(7)
+
+    fused = make_fused_train_step(
+        renderer, loss_fn, optimizer, sampler, False, [1, 1, 1.0], donate=False
+    )
+    p1, _, loss1 = fused(params, optimizer.init(params), sampler.tables, data_key, key)
+
+    mesh = make_mesh(8, shape=(8, 1))
+    step, place_params, place_tables = make_parallel_fused_train_step(
+        renderer, loss_fn, optimizer, sampler, mesh, False, [1, 1, 1.0], params
+    )
+    p_placed = place_params(params)
+    p2, _, loss2 = step(p_placed, optimizer.init(p_placed), place_tables(), data_key, key)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
