@@ -561,6 +561,14 @@ class DeviceInstancer:
                         flat[k] = (v + offs).reshape(-1)
                     else:
                         flat[k] = v.reshape((v.shape[0] * v.shape[1],) + v.shape[2:])
+                # Dense [R,S] spacing table from the per-ray scalars, built
+                # after the lax.map so it is one fused elementwise op feeding
+                # the compositor instead of a per-block stacking copy.
+                S_eff = min(n_samples, self.max_steps_per_ray)
+                flat["dists"] = self._dists_grid(
+                    flat.pop("n_steps"), flat.pop("total"), flat.pop("tiny"),
+                    S_eff, step_size,
+                )
                 return flat
 
             self._jit_cache[cache_key] = fn
@@ -589,7 +597,16 @@ class DeviceInstancer:
             ray, rays_o, rays_d, parameters, ray_idx, i_idx, step, k_sample
         )
 
-        dists_c = ray["dists"][ray_idx, i_idx]
+        # Per-sample spacing from gathered per-ray scalars (same expressions
+        # as _dists_grid) — replaces a 2-D gather from the retired [Rb,S]
+        # dists table.
+        ns_c = ray["n_steps"][ray_idx]
+        tot_c = ray["total"][ray_idx]
+        tiny_c = ray["tiny"][ray_idx]
+        dists_c = jnp.where(i_idx == ns_c - 1, step + tot_c - ns_c * step,
+                            jnp.float32(step))
+        dists_c = jnp.where(tiny_c, jnp.where(i_idx == 0, tot_c, 0.0), dists_c)
+        dists_c = jnp.where(i_idx < ns_c, dists_c, 0.0)
 
         return {
             "pts": sample["pts"],
@@ -602,7 +619,12 @@ class DeviceInstancer:
             "taken": taken,
             "ray_idx": ray_idx,
             "i_idx": i_idx,
-            "dists": ray["dists"],
+            # The dense [Rb,S] dists table is reconstructed OUTSIDE the
+            # blocked lax.map (_fn_compact) from these three scalars, so it
+            # is never stacked block-by-block.
+            "n_steps": ray["n_steps"],
+            "total": ray["total"],
+            "tiny": ray["tiny"],
             "color_last": ray["color_last"],
             "alpha_last": ray["alpha_last"],
             "hit": ray["hit"],
@@ -752,7 +774,7 @@ class DeviceInstancer:
                     ray, o, d, prm, ext, bkey = op
                     k_sample, k_shade = jax.random.split(bkey)
                     sample = self._per_sample_grid(ray, o, d, prm, S_b, step, k_sample)
-                    inst = self._assemble_grid(ray, sample, d, prm, S_b)
+                    inst = self._assemble_grid(ray, sample, d, prm, S_b, step)
                     return shade_block(inst, ext, k_shade)
 
             return branch
@@ -812,13 +834,30 @@ class DeviceInstancer:
         )
 
         return {
-            **self._assemble_grid(ray, sample, rays_d, parameters, S),
+            **self._assemble_grid(ray, sample, rays_d, parameters, S, step),
             "overflow_hits": ray["overflow_hits"],
             "overflow_steps": ray["overflow_steps"],
             "overflow_cull": ray["overflow_cull"],
         }
 
-    def _assemble_grid(self, ray, sample, rays_d, parameters, S):
+    @staticmethod
+    def _dists_grid(n_steps, total, tiny, S, step):
+        """Sample-spacing table [Rb, S] from per-ray scalars — the exact
+        expressions the per-ray stage used to materialize (uniform `step`
+        spacing, a shortened last interval `step + total - n_steps*step`,
+        and the tiny-interval single sample).  Recomputed at use sites so
+        _per_ray's tables stay O(1) per ray (see note in _per_ray §5)."""
+        i_grid = jnp.arange(S)[None, :]
+        sample_valid = i_grid < n_steps[:, None]
+        dists = jnp.where(
+            i_grid == n_steps[:, None] - 1,
+            step + total[:, None] - n_steps[:, None] * step,
+            jnp.full((1, S), jnp.float32(step)),
+        )
+        dists = jnp.where(tiny[:, None], jnp.where(i_grid == 0, total[:, None], 0.0), dists)
+        return jnp.where(sample_valid, dists, 0.0)
+
+    def _assemble_grid(self, ray, sample, rays_d, parameters, S, step):
         """Mask the raw per-sample stage outputs into the dense [Rb, S] model
         input dict (invalid slots get benign values).  S may be any prefix of
         the grid the per-ray stage was computed with: every ray in the block
@@ -833,7 +872,7 @@ class DeviceInstancer:
             "rays_d": jnp.where(emit, sample["dirs"], world_dirs),
             "pts": jnp.where(emit, sample["pts"], 0.0),
             "t": jnp.where(sample_valid, sample["t"], 0.0),
-            "dists": ray["dists"][:, :S],
+            "dists": self._dists_grid(ray["n_steps"], ray["total"], ray["tiny"], S, step),
             "color_last": ray["color_last"],
             "alpha_last": ray["alpha_last"],
             "alpha_weight": jnp.where(sample_valid, sample["weight"], 1.0),
@@ -1250,15 +1289,11 @@ class DeviceInstancer:
         n_steps = jnp.where(tiny, 1, n_steps)
         t_offset = jnp.where(tiny, u_off * total, u_off * step)
 
-        i_grid = jnp.arange(S)[None, :]
-        sample_valid = i_grid < n_steps[:, None]
-        dists = jnp.where(
-            i_grid == n_steps[:, None] - 1,
-            step + total[:, None] - n_steps[:, None] * step,
-            jnp.full((1, S), step),
-        )
-        dists = jnp.where(tiny[:, None], jnp.where(i_grid == 0, total[:, None], 0.0), dists)
-        dists = jnp.where(sample_valid, dists, 0.0)
+        # The [Rb,S] dists table is NOT materialized here: it is a pure
+        # function of (n_steps, total, tiny) and is recomputed at use sites
+        # (_dists_grid) — as the per-ray stage's only O(S) output it
+        # dominated the lax.map output stacking + occupancy-permute cost
+        # (measured ~0.7 s/frame of copies on the plush bench).
 
         # 6. lighting / shadow precomputation (per ray) ------------------
         light_dir_w = None
@@ -1286,7 +1321,7 @@ class DeviceInstancer:
             "times_s": times_s, "cum_incl": cum_incl, "cum_excl": cum_excl,
             "arc_corr": arc_corr,
             "total": total, "n_steps": n_steps, "t_offset": t_offset, "tiny": tiny,
-            "dists": dists, "color_last": color_last, "alpha_last": alpha_last,
+            "color_last": color_last, "alpha_last": alpha_last,
             "hit": hit, "overflow_hits": overflow_hits, "overflow_steps": overflow_steps,
             # Candidate instances/triangles dropped by the conservative
             # per-block cull budgets — kept separate from overflow_hits
