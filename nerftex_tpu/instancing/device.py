@@ -370,6 +370,8 @@ class DeviceInstancer:
         max_steps_per_ray: int = 512,
         cull_budget: int = 0,
         tri_cull_budget: int = 0,
+        shadow_cull_budget: int = 0,
+        shadow_tri_cull_budget: int = 0,
         seed: int = 0,
         deterministic_offset: bool = False,
     ):
@@ -397,6 +399,18 @@ class DeviceInstancer:
         # shift at f32-epsilon scale from fma contraction on the gathered
         # candidate shapes (tests/test_device_instancer.py).
         self.tri_cull_budget = tri_cull_budget
+        # Conservative per-block culling for the SHADOW pass (occlusion
+        # queries toward the light), via an ALWAYS-EXACT 3-way block branch
+        # (_occlusion_branched): blocks with no consumed shadow result skip
+        # the query outright (always on); blocks whose conservative
+        # swept-cone keep sets fit these budgets query only the kept
+        # instance/triangle candidates; all other blocks (including
+        # degenerate wide light cones) fall back to the full query.  Unlike
+        # the primary-ray cull there is no drop/overflow failure mode — an
+        # undersized budget only costs speed.  0 disables the candidate
+        # branch (the skip branch still applies when shadows are cast).
+        self.shadow_cull_budget = shadow_cull_budget
+        self.shadow_tri_cull_budget = shadow_tri_cull_budget
         # Compact-path cap on marching steps per ray: shrinks every [R,S]
         # buffer (dists, compositing scatter) to min(n_samples, this).
         # Rays needing more steps drop their deepest samples (counted in
@@ -1484,9 +1498,109 @@ class DeviceInstancer:
 
     # -- shadows ---------------------------------------------------------
 
-    def _shadow_query(self, pts, light_dir):
+    @staticmethod
+    def _light_cone(light_dir, valid):
+        """Cone bound of the valid rows' shadow directions: unit mean axis
+        u_l, a conservative tan of the half-angle, and a traced `wide` flag
+        (cos below 0.1 ≈ spread past ~84 deg) that disables culling."""
+        eps = 1e-12
+        l = light_dir.reshape(-1, 3)
+        l = l / jnp.maximum(jnp.linalg.norm(l, axis=-1, keepdims=True), eps)
+        w = valid.reshape(-1).astype(jnp.float32)[:, None]
+        u = jnp.sum(l * w, 0) / jnp.maximum(jnp.sum(w), 1.0)
+        u = u / jnp.maximum(jnp.linalg.norm(u), eps)
+        cos_min = jnp.min(jnp.where(valid.reshape(-1), l @ u, 1.0))
+        wide = cos_min <= 0.1
+        cos_safe = jnp.maximum(cos_min, 0.1)
+        sin_max = jnp.sqrt(jnp.maximum(1.0 - cos_safe * cos_safe, 0.0))
+        return u, sin_max / cos_safe, wide
+
+    @staticmethod
+    def _swept_keep(c, r, u_l, tan_a, centers, radii):
+        """Conservative sphere-vs-swept-cone test.  The swept volume is
+        {p + t*l : |p-c| <= r, l in cone(u_l, alpha), t >= 0}; any point x
+        in it satisfies (x-c)@u_l >= -r and |perp(x-c)| <= r + t*sin(alpha)
+        with t <= ((x-c)@u_l + r)/cos(alpha).  Inflating both linear forms
+        by the occluder radius gives a necessary intersection condition, so
+        an excluded occluder cannot block any shadow sample of the block."""
+        v = centers - c
+        va = v @ u_l
+        lat2 = jnp.sum(v * v, -1) - va * va
+        reach = radii + r
+        slack = reach + jnp.maximum(va + reach, 0.0) * tan_a
+        return (va >= -reach) & (lat2 <= slack * slack)
+
+    def _occlusion_branched(self, pts, light_dir_b, pt_valid):
+        """`_shadow_query(pts, light_dir_b)` computed through an exact
+        3-way block-level branch (lax.switch — one branch executes per
+        block at runtime):
+
+          0. no valid point in the block -> skip the query entirely
+             (downstream consumers mask these rows, so the result is
+             unobservable; blocks outside the material footprint pay ~zero
+             instead of the full [.., N]+[.., T] test);
+          1. the conservative swept-cone keep sets fit the shadow budgets
+             -> query over the gathered candidates only.  Sound: every
+             valid point lies in the block's bounding sphere, so an
+             occluder outside the swept cone cannot block any of them —
+             and the branch is only taken when NOTHING is dropped;
+          2. otherwise -> the full occlusion query.
+
+        All three branches are exact, so unlike the primary-ray cull there
+        is no budget-overflow failure mode — an undersized budget only
+        costs speed.  pts [..., 3]; light_dir_b broadcastable to pts;
+        pt_valid broadcastable to pts[..., 0] marking rows whose result is
+        consumed."""
+        ds = self.ds
+        C = self.shadow_cull_budget
+        C = C if (C and C < ds.n_instances) else 0
+        TC = self.shadow_tri_cull_budget
+        TC = TC if (TC and 0 < TC < ds.n_tris) else 0
+
+        shape = pts.shape[:-1]
+        fvalid = jnp.broadcast_to(pt_valid, shape).reshape(-1)
+        any_valid = jnp.any(fvalid)
+
+        def empty(_):
+            return jnp.zeros(shape, bool)
+
+        def full(_):
+            return self._shadow_query(pts, light_dir_b)
+
+        if not (C or TC):
+            return jax.lax.cond(any_valid, full, empty, None)
+
+        flat_l = jnp.broadcast_to(light_dir_b, pts.shape).reshape(-1, 3)
+        c, r = self._point_bound(pts.reshape(-1, 3), fvalid)
+        u_l, tan_a, wide = self._light_cone(flat_l, fvalid)
+        fits = ~wide
+        keep_i = keep_t = None
+        if C:
+            keep_i = self._swept_keep(c, r, u_l, tan_a, ds.inst_center, ds.inst_radius)
+            fits = fits & (jnp.sum(keep_i) <= C)
+        if TC:
+            keep_t = self._swept_keep(c, r, u_l, tan_a, ds.tri_center, ds.tri_radius)
+            fits = fits & (jnp.sum(keep_t) <= TC)
+
+        def culled(_):
+            inst_sel = (
+                self._keep_to_candidates(keep_i, C)[:2] if keep_i is not None else None
+            )
+            tri_sel = (
+                self._keep_to_candidates(keep_t, TC)[:2] if keep_t is not None else None
+            )
+            return self._shadow_query(pts, light_dir_b, inst_sel, tri_sel)
+
+        idx = jnp.where(any_valid, jnp.where(fits, 1, 2), 0)
+        return jax.lax.switch(idx, [empty, culled, full], None)
+
+    def _shadow_query(self, pts, light_dir, inst_sel=None, tri_sel=None):
         """Batched occlusion query (instancer.cpp:593-602 + filter :544-554).
         pts [..., 3], light_dir [..., 3] -> blocked [...].
+
+        inst_sel/tri_sel: optional (ids, valid) candidate subsets from
+        _shadow_cull — the test then runs over the candidates only, with
+        invalid (padding) columns forced to not-blocking.
 
         The local-frame transforms are broadcast multiply-adds, NOT matmuls:
         a matmul is an XLA fusion boundary, so the [rays, Ssh, N] plane
@@ -1496,16 +1610,21 @@ class DeviceInstancer:
         fuses into the any-reduction like the Moller-Trumbore test does,
         and the [.., N] intermediates never leave registers/VMEM."""
         ds = self.ds
-        rot = ds.inv_rot                                             # [N,3,3]
+        if inst_sel is not None:
+            rot = ds.inv_rot[inst_sel[0]]                            # [C,3,3]
+            trans = ds.inv_trans[inst_sel[0]]                        # [C,3]
+            col_valid = inst_sel[1]
+        else:
+            rot, trans, col_valid = ds.inv_rot, ds.inv_trans, None
         p = pts[..., None]                                           # [..,3,1]
         l = light_dir[..., None]                                     # [..,3,1]
 
-        def row(c, vec, trans):
+        def row(c, vec, use_trans):
             return (
                 vec[..., 0, :] * rot[:, c, 0]
                 + vec[..., 1, :] * rot[:, c, 1]
                 + vec[..., 2, :] * rot[:, c, 2]
-                + (ds.inv_trans[:, c] if trans else 0.0)
+                + (trans[:, c] if use_trans else 0.0)
             )
 
         o_lx = row(0, p, True)
@@ -1530,21 +1649,50 @@ class DeviceInstancer:
                 ok = ok & (dz < 0)
             return ok
 
-        blocked = jnp.any(face_block(ds.b_1[2], True) | face_block(ds.b_0[2], False), -1)
+        face_ok = face_block(ds.b_1[2], True) | face_block(ds.b_0[2], False)
+        if col_valid is not None:
+            face_ok = face_ok & col_valid
+        blocked = jnp.any(face_ok, -1)
 
         if ds.n_tris > 0:
-            t_hit, _, _ = _moller_trumbore(pts, light_dir, ds.tri_v0, ds.tri_e1, ds.tri_e2)
-            ng = jnp.cross(ds.tri_e1, ds.tri_e2)
+            if tri_sel is not None:
+                v0 = ds.tri_v0[tri_sel[0]]
+                e1 = ds.tri_e1[tri_sel[0]]
+                e2 = ds.tri_e2[tri_sel[0]]
+                tri_valid = tri_sel[1]
+            else:
+                v0, e1, e2, tri_valid = ds.tri_v0, ds.tri_e1, ds.tri_e2, None
+            t_hit, _, _ = _moller_trumbore(pts, light_dir, v0, e1, e2)
+            ng = jnp.cross(e1, e2)
             front = jnp.sum(light_dir[..., None, :] * ng, -1) < 0
-            blocked = blocked | jnp.any(jnp.isfinite(t_hit) & front, -1)
+            tri_ok = jnp.isfinite(t_hit) & front
+            if tri_valid is not None:
+                tri_ok = tri_ok & tri_valid
+            blocked = blocked | jnp.any(tri_ok, -1)
 
         return blocked
+
+    @staticmethod
+    def _point_bound(pts, valid):
+        """Bounding sphere (center, radius) of pts[valid]; a zero sphere at
+        the masked mean when nothing is valid.  Radius is inflated by a
+        relative epsilon so float rounding in the mean/norms cannot shave a
+        marginal occluder off the conservative keep set."""
+        pts_safe = jnp.where(valid[:, None], pts, 0.0)
+        w = valid.astype(jnp.float32)[:, None]
+        c = jnp.sum(pts_safe * w, 0) / jnp.maximum(jnp.sum(w), 1.0)
+        d2 = jnp.sum((pts_safe - c) ** 2, -1)
+        r = jnp.sqrt(jnp.max(jnp.where(valid, d2, 0.0)))
+        return c, r * 1.001 + 1e-5
 
     def _shadow_blocked_sparse(self, rays_o, rays_d, light_dir, cum_incl, cum_excl, times_s, total):
         """Sparse shadow samples along the inside-arc (instancer.cpp:929-951's
         sparse path, uniform over the union instead of per-segment); samples
         look up their bucket by arc position in the per-sample stage.
-        Returns blocked [Rb, Ssh]."""
+        Returns blocked [Rb, Ssh], computed through the exact 3-way
+        skip/culled/full block branch (_occlusion_branched); rays with no
+        hit arc are invalid rows — their (unused, NaN-propagating) shadow
+        results are not-blocked on every branch."""
         Ssh = self.shadow_samples
         frac = (jnp.arange(Ssh) + 0.5) / Ssh
         s_sh = frac[None, :] * total[:, None]                        # [Rb,Ssh]
@@ -1557,7 +1705,10 @@ class DeviceInstancer:
         picked = _onehot_pick(oh_j, jnp.stack([times_s, cum_excl], -1))
         t_sh = picked[..., 0] + (s_sh - picked[..., 1])
         pts_sh = rays_o[:, None, :] + rays_d[:, None, :] * t_sh[..., None]
-        return self._shadow_query(pts_sh, light_dir[:, None, :])     # [Rb,Ssh]
+        valid = (total > 0) & jnp.isfinite(times_s[:, 0])
+        return self._occlusion_branched(
+            pts_sh, light_dir[:, None, :], valid[:, None]
+        )                                                            # [Rb,Ssh]
 
     # -- terminator shading ----------------------------------------------
 
@@ -1594,14 +1745,19 @@ class DeviceInstancer:
 
         hit_pt = rays_o + jnp.where(mesh_hit, t_mesh, 0.0)[:, None] * rays_d
         diffuse = jnp.zeros(rays_o.shape[0])
+        is_aux = mid > 0
         if light_dir is not None:
             ld = light_dir / jnp.maximum(jnp.linalg.norm(light_dir, axis=-1, keepdims=True), 1e-12)
             diffuse = jnp.maximum(jnp.sum(n * ld, -1), 0.0)
             if ds.cast_shadow_rays:
-                blocked = self._shadow_query(hit_pt + n * 1e-6, light_dir)
+                # Only aux-mesh terminator pixels consume the occlusion
+                # result (base mesh renders black), so the branched query
+                # can skip blocks without them.
+                blocked = self._occlusion_branched(
+                    hit_pt + n * 1e-6, light_dir, mesh_hit & is_aux
+                )
                 diffuse = jnp.where(blocked, 0.0, diffuse)
 
         shade = jnp.minimum(diffuse + 0.2, 1.0)[:, None] * albedo
-        is_aux = mid > 0
         color = jnp.where(is_aux[:, None], shade, 0.0)
         return jnp.where(mesh_hit[:, None], color, 0.0)

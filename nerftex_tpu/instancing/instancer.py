@@ -37,6 +37,8 @@ class Instancer:
         max_steps_per_ray: int = 512,
         cull_budget: int = 0,
         tri_cull_budget: int = 0,
+        shadow_cull_budget: int = 0,
+        shadow_tri_cull_budget: int = 0,
         seed: int = 0,
         deterministic_offset: bool = False,
     ):
@@ -74,6 +76,8 @@ class Instancer:
             max_steps_per_ray=max_steps_per_ray,
             cull_budget=cull_budget,
             tri_cull_budget=tri_cull_budget,
+            shadow_cull_budget=shadow_cull_budget,
+            shadow_tri_cull_budget=shadow_tri_cull_budget,
             seed=seed,
             deterministic_offset=deterministic_offset,
         )

@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--dense", action="store_true", help="disable sorted-block path")
     ap.add_argument("--cull", type=int, default=0, help="instancer cull_budget (0 = off)")
+    ap.add_argument("--shadow-cull", type=int, default=0, help="shadow_cull_budget (0 = off)")
+    ap.add_argument("--shadow-tri-cull", type=int, default=0, help="shadow_tri_cull_budget (0 = off)")
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--trace", default=None, help="capture a jax.profiler trace of one warm frame into DIR")
     args = ap.parse_args()
@@ -63,6 +65,10 @@ def main():
     rcfg.instancer_config.update({"max_steps_per_ray": args.step_cap})
     if args.cull:
         rcfg.instancer_config.update({"cull_budget": args.cull})
+    if args.shadow_cull:
+        rcfg.instancer_config.update({"shadow_cull_budget": args.shadow_cull})
+    if args.shadow_tri_cull:
+        rcfg.instancer_config.update({"shadow_tri_cull_budget": args.shadow_tri_cull})
     n_rays = ds.height * ds.width
     rcfg.update(
         {"render_chunk": args.chunk or n_rays, "sorted_blocks": not args.dense}

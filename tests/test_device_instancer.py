@@ -518,3 +518,83 @@ def test_tri_cull_budget_bitexact_when_covering(assets):
             )
         else:
             assert np.array_equal(va, vb), f"{k} differs under tri culling"
+
+
+def test_shadow_cull_bitexact_when_covering(assets):
+    """Shadow-pass culling (device.py::_occlusion_branched swept-cone
+    bound): any budget is exact by construction (the culled branch is only
+    taken when the keep sets fit), so outputs must be bit-identical to the
+    budget-off build."""
+    from nerftex_tpu.instancing.instancer import Instancer
+    from nerftex_tpu.utils import rng
+
+    def build(sc, stc):
+        rng.set_seed(0)
+        return Instancer(
+            b_0=[-1.4, -1.2, -0.1], b_1=[1.2, 1.2, 1.8],
+            mesh_path=os.path.join(assets, "cloth_mesh.ply"),
+            patch_origins_path=os.path.join(assets, "cloth_anchor_points.ply"),
+            patch_scale=0.09, jitter_amount=1.0, cast_shadow_rays=True,
+            textures=[os.path.join(assets, "smooth_checkerboard.png"), "", "", "", "light"],
+            instance_sampling_method="nearest",
+            max_hits=16, ray_block=64, shadow_samples=8,
+            shadow_cull_budget=sc, shadow_tri_cull_budget=stc,
+        )
+
+    rays_o, rays_d = _pinhole_block(n=128)
+    prm = np.tile(np.float32([1, 1, 1, 0.1, 0, 0, 1]), (128, 1))
+    key = jax.random.key(3)
+    ref = build(0, 0)
+    n, n_tris = ref.n_instances(), ref.device.ds.n_tris
+    oa = ref.get_model_input_dict(rays_o, rays_d, prm, 48, 0.02, key=key)
+    # Budgets strictly below n/n_tris so the shadow-cull branch actually
+    # runs (device.py guards C < n_instances / TC < n_tris); zero drops
+    # checks the covering premise instead of assuming it.
+    ob = build(n - 1, n_tris - 1).get_model_input_dict(
+        rays_o, rays_d, prm, 48, 0.02, key=key
+    )
+    assert int(ob["overflow_cull"]) == 0
+    for k in sorted(oa):
+        if k == "overflow_cull":
+            continue
+        va, vb = np.asarray(oa[k]), np.asarray(ob[k])
+        assert np.array_equal(va, vb, equal_nan=True), f"{k} differs under shadow culling"
+
+
+def test_shadow_cull_exact_even_undersized(assets):
+    """An under-sized shadow budget falls back to the full query per block
+    (exact, zero drops) instead of dropping occluders."""
+    from nerftex_tpu.instancing.instancer import Instancer
+    from nerftex_tpu.utils import rng
+
+    rng.set_seed(0)
+    inst = Instancer(
+        b_0=[-1.4, -1.2, -0.1], b_1=[1.2, 1.2, 1.8],
+        mesh_path=os.path.join(assets, "cloth_mesh.ply"),
+        patch_origins_path=os.path.join(assets, "cloth_anchor_points.ply"),
+        patch_scale=0.09, jitter_amount=1.0, cast_shadow_rays=True,
+        textures=[os.path.join(assets, "smooth_checkerboard.png"), "", "", "", "light"],
+        instance_sampling_method="nearest",
+        max_hits=16, ray_block=64, shadow_samples=8,
+        shadow_cull_budget=2,
+    )
+    rays_o, rays_d = _pinhole_block(n=128)
+    prm = np.tile(np.float32([1, 1, 1, 0.1, 0, 0, 1]), (128, 1))
+    out = inst.get_model_input_dict(rays_o, rays_d, prm, 48, 0.02, key=jax.random.key(3))
+    assert int(out["overflow_cull"]) == 0
+
+    from nerftex_tpu.utils import rng as _rng
+
+    _rng.set_seed(0)
+    ref = Instancer(
+        b_0=[-1.4, -1.2, -0.1], b_1=[1.2, 1.2, 1.8],
+        mesh_path=os.path.join(assets, "cloth_mesh.ply"),
+        patch_origins_path=os.path.join(assets, "cloth_anchor_points.ply"),
+        patch_scale=0.09, jitter_amount=1.0, cast_shadow_rays=True,
+        textures=[os.path.join(assets, "smooth_checkerboard.png"), "", "", "", "light"],
+        instance_sampling_method="nearest",
+        max_hits=16, ray_block=64, shadow_samples=8,
+    ).get_model_input_dict(rays_o, rays_d, prm, 48, 0.02, key=jax.random.key(3))
+    for k in sorted(ref):
+        va, vb = np.asarray(ref[k]), np.asarray(out[k])
+        assert np.array_equal(va, vb, equal_nan=True), f"{k} differs with tiny shadow budget"
