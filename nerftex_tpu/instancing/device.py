@@ -767,33 +767,72 @@ class DeviceInstancer:
         buckets = sorted(
             {min(cap, 8), *(max(1, (cap * q) // 8) for q in range(1, 9)), cap}
         )
-        if empty_block is not None:
-            buckets = [0] + buckets
         bucket_arr = jnp.asarray(buckets, jnp.int32)
         block_max = n_steps[order][:: block][:n_blocks]
-        bucket_idx = jnp.searchsorted(bucket_arr, block_max, side="left").astype(jnp.int32)
+        s_idx = jnp.searchsorted(bucket_arr, block_max, side="left").astype(jnp.int32)
+
+        # Hit-capacity buckets: the same trick along the K axis.  All
+        # K-width per-ray tables hold their finite entries as a PREFIX
+        # (top-K sort ascending, inf-padded), so a block whose max per-ray
+        # hit count fits K_b can slice every such table to [.., K_b] /
+        # [.., 2*K_b] bit-exactly — and the whole [Rb, S, K] per-sample
+        # overlap machinery (event counting, one-hot picks, active tests)
+        # then scales with actual hits instead of max_hits.  Only worth the
+        # 3x branch multiplication at large K: measured +6.2% plush (K=128)
+        # and +1.4% grass (K=96), but -6% carpet (K=48, the [Rb,S,48] ops
+        # are too cheap to beat the extra switch overhead) — so small-K
+        # scenes keep a single hit tier (docs/PERF.md §2.7).
+        K = tables["tk0"].shape[-1]
+        kb_list = sorted({min(K, 8), max(1, K // 4), K}) if K >= 64 else [K]
+        kb_arr = jnp.asarray(kb_list, jnp.int32)
+        n_hits = jnp.sum(tables_s["kvalid"], -1).astype(jnp.int32)
+        block_max_hits = jnp.max(n_hits.reshape(n_blocks, block), -1)
+        k_idx = jnp.searchsorted(kb_arr, block_max_hits, side="left").astype(jnp.int32)
 
         def to_blocks(v):
             return None if v is None else v.reshape((n_blocks, block) + v.shape[1:])
 
         tables_b = {k: to_blocks(v) for k, v in tables_s.items()}
 
-        def make_branch(S_b):
-            if S_b == 0:
-                def branch(op):
-                    ray, o, d, prm, ext, bkey = op
-                    return empty_block(ray, ext, bkey)
-            else:
-                def branch(op):
-                    ray, o, d, prm, ext, bkey = op
-                    k_sample, k_shade = jax.random.split(bkey)
-                    sample = self._per_sample_grid(ray, o, d, prm, S_b, step, k_sample)
-                    inst = self._assemble_grid(ray, sample, d, prm, S_b, step)
-                    return shade_block(inst, ext, k_shade)
+        _K_KEYS = ("tk0", "tk1", "inst_idx", "kvalid", "sel_a", "sel_b")
+        _2K_KEYS = ("cum_incl", "arc_corr")
+
+        def slice_hits(ray, K_b):
+            if K_b == K:
+                return ray
+            ray = dict(ray)
+            for key in _K_KEYS:
+                if ray.get(key) is not None:
+                    ray[key] = ray[key][:, :K_b]
+            for key in _2K_KEYS:
+                ray[key] = ray[key][:, : 2 * K_b]
+            return ray
+
+        def make_branch(S_b, K_b):
+            def branch(op):
+                ray, o, d, prm, ext, bkey = op
+                ray = slice_hits(ray, K_b)
+                k_sample, k_shade = jax.random.split(bkey)
+                sample = self._per_sample_grid(ray, o, d, prm, S_b, step, k_sample)
+                inst = self._assemble_grid(ray, sample, d, prm, S_b, step)
+                return shade_block(inst, ext, k_shade)
 
             return branch
 
-        branches = [make_branch(s) for s in buckets]
+        branches = []
+        base = 0
+        if empty_block is not None:
+            def _empty(op):
+                ray, o, d, prm, ext, bkey = op
+                return empty_block(ray, ext, bkey)
+
+            branches.append(_empty)
+            base = 1
+        branches += [make_branch(s, kb) for s in buckets for kb in kb_list]
+
+        bucket_idx = base + s_idx * len(kb_list) + k_idx
+        if empty_block is not None:
+            bucket_idx = jnp.where(block_max == 0, 0, bucket_idx)
 
         def run_block(args):
             ray, o, d, prm, ext, b_idx, idx = args
@@ -1332,7 +1371,12 @@ class DeviceInstancer:
         return {
             "tk0": tk0, "tk1": tk1, "inst_idx": inst_idx, "kvalid": kvalid,
             "sel_a": sel_a, "sel_b": sel_b,
-            "times_s": times_s, "cum_incl": cum_incl, "cum_excl": cum_excl,
+            # times_s / cum_excl are consumed above (shadow sampling) and
+            # deliberately NOT returned: every key here is stacked by the
+            # blocked lax.map, permuted by the occupancy sort, and
+            # re-blocked — two dead [Rb,2K] tables cost ~1.3 GB of copies
+            # per plush frame.
+            "cum_incl": cum_incl,
             "arc_corr": arc_corr,
             "total": total, "n_steps": n_steps, "t_offset": t_offset, "tiny": tiny,
             "color_last": color_last, "alpha_last": alpha_last,

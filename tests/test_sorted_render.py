@@ -99,3 +99,69 @@ def test_sorted_shadow_scene_matches_dense():
         out = r(**data, training=False, key=jax.random.key(7))
         outs[sb] = np.asarray(out["color_pred"])[0]
     np.testing.assert_allclose(outs[True], outs[False], atol=5e-7)
+
+
+def test_sorted_hit_bucketing_matches_dense():
+    """K >= 64 activates hit-capacity buckets (device.py render_grid_sorted:
+    per-block slicing of the K-width tables to the smallest covering tier);
+    the sliced branches must still reproduce the dense grid render."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerftex_tpu.instancing.instancer import Instancer
+    from nerftex_tpu.render.instance_renderer import InstanceRenderer
+    from nerftex_tpu.models.mlp import Model
+
+    # 72 instances in a 3D grid; rays through the stack see anywhere from 0
+    # to ~24 overlapping boxes, so blocks land in different hit tiers.
+    transforms = []
+    for ix in range(4):
+        for iy in range(3):
+            for iz in range(6):
+                m = np.eye(4, dtype=np.float32)
+                m[0, 3] = (ix - 1.5) * 0.5
+                m[1, 3] = (iy - 1.0) * 0.5
+                m[2, 3] = iz * 0.35
+                transforms.append(m)
+
+    def apply(params, pos, dirs, prms):
+        r2 = jnp.sum(pos**2, -1, keepdims=True)
+        return pos, 4.0 * jnp.exp(-3.0 * r2) + 0.0 * params["w"].sum()
+
+    def build(sorted_blocks):
+        rng.set_seed(0)
+        inst = Instancer(
+            b_0=[-0.4, -0.4, -0.3], b_1=[0.4, 0.4, 0.3],
+            transformations=transforms, ray_block=16, max_hits=64,
+            # Deterministic overlap mode: the sorted path's u_sel stream is
+            # per-SORTED-block, so 'random' legitimately differs from dense
+            # by stream (render_grid_sorted docstring) — 'nearest' is the
+            # bit-exact comparison the dense-equivalence tests rely on.
+            instance_sampling_method="nearest",
+        )
+        model = Model("model", {"w": jnp.zeros(1)}, apply)
+        return InstanceRenderer(
+            instancer_config=inst, model=model, n_samples=32, step_size=0.1,
+            render_chunk=64, sample_budget_per_ray=0, sorted_blocks=sorted_blocks,
+        )
+
+    idx = np.arange(64)
+    rays_o = np.stack(
+        [(idx % 8 - 3.5) * 0.45, (idx // 8 - 3.5) * 0.45, np.full(64, 6.0)], -1
+    ).astype(np.float32)
+    data = dict(
+        rays_o=rays_o[None],
+        rays_d=np.tile(np.array([0, 0, -1.0], np.float32), (1, 64, 1)),
+        t=np.tile([1.0, 9.0], (1, 64, 1)).astype(np.float32),
+        parameters=np.zeros((1, 0), np.float32),
+        cone_scale=np.full((1, 64, 1), 0.01, np.float32),
+    )
+    outs = {}
+    for sb in (False, True):
+        out = build(sb)(**data, training=False, key=jax.random.key(3))
+        outs[sb] = (
+            np.asarray(out["color_pred"])[0], np.asarray(out["alpha_pred"])[0]
+        )
+    np.testing.assert_allclose(outs[True][0], outs[False][0], atol=5e-7)
+    np.testing.assert_allclose(outs[True][1], outs[False][1], atol=5e-7)
+    assert outs[True][1].max() > 0.3
