@@ -380,24 +380,21 @@ class DeviceInstancer:
         self.ray_block = ray_block
         self.shadow_samples = shadow_samples
         self.texture_lookup = texture_lookup
-        # Conservative per-block instance culling: before the per-instance
-        # slab tests, each ray block keeps only the <= cull_budget instances
-        # whose bounding sphere intersects the block's bounding cone
-        # (origin-sphere + direction spread).  0 disables (every instance is
-        # tested — the reference-exact default).  Conservative: a kept-out
-        # instance cannot intersect any ray in the block, so results are
-        # identical when the budget covers every overlapping candidate;
-        # blocks whose candidate count exceeds the budget drop the
-        # highest-index extras and count them in overflow_cull (a separate
-        # diagnostic from overflow_hits so nonzero unambiguously means the
-        # budget is too small).
+        # Conservative per-block instance culling, as an ALWAYS-EXACT
+        # branch (same recipe as the shadow pass below): each ray block
+        # computes the set of instances whose bounding sphere intersects
+        # its ray fan; if that keep set fits cull_budget, the slab tests
+        # and top-K run over only the gathered candidates, otherwise the
+        # block falls back to the full instance set.  Nothing is ever
+        # dropped — the budget is a speed tier, and overflow_cull remains
+        # as an always-zero diagnostic.  0 disables the candidate branch
+        # (every instance tested — the reference-exact default).
         self.cull_budget = cull_budget
-        # Same cull for the mesh triangle soup (the first-hit terminator
-        # test): 0 disables.  Conservative in the same sense; over-budget
-        # drops are counted in overflow_cull.  Equivalence with a covering
-        # budget is exact for discrete outputs; t_mesh-derived floats can
-        # shift at f32-epsilon scale from fma contraction on the gathered
-        # candidate shapes (tests/test_device_instancer.py).
+        # Same exact branch for the mesh triangle soup (the first-hit
+        # terminator test): 0 disables.  Branch equivalence is exact for
+        # discrete outputs; t_mesh-derived floats can shift at f32-epsilon
+        # scale from fma contraction on the gathered candidate shapes
+        # (tests/test_device_instancer.py).
         self.tri_cull_budget = tri_cull_budget
         # Conservative per-block culling for the SHADOW pass (occlusion
         # queries toward the light), via an ALWAYS-EXACT 3-way block branch
@@ -1206,63 +1203,53 @@ class DeviceInstancer:
         K = min(self.max_hits, ds.n_instances)
         P = parameters.shape[-1]
 
-        # 1. instance intervals -----------------------------------------
-        # Componentwise [Rb,N] planes via MXU matmuls; a [Rb,N,3] layout
-        # would lane-pad 42x (see _moller_trumbore note).
+        # Primary culls run as EXACT per-block branches (same recipe as the
+        # shadow pass, _occlusion_branched): the conservative fan-keep set
+        # is computed for the block, and the culled branch — slab tests /
+        # Moller-Trumbore + top-K over the <=budget gathered candidates —
+        # is taken only when the whole keep set fits, so nothing is ever
+        # dropped; otherwise the block falls back to the full set.  The
+        # budgets are now pure speed tiers with no overflow failure mode
+        # (overflow_cull stays as an always-zero diagnostic for the
+        # reporting plumbing).
         cull_overflow = jnp.int32(0)
         C = self.cull_budget
-        if C and max(C, K) < ds.n_instances:
-            C = max(C, K)
-            cand, cand_valid, cull_overflow = self._cull_candidates(rays_o, rays_d, C)
-            inv_rot_n = ds.inv_rot[cand]                             # [C,3,3]
-            inv_trans_n = ds.inv_trans[cand]                         # [C,3]
-            inst_ids = cand
-            n_cols = C
-        else:
-            inv_rot_n = ds.inv_rot
-            inv_trans_n = ds.inv_trans
-            inst_ids = jnp.arange(ds.n_instances, dtype=jnp.int32)
-            cand_valid = None
-            n_cols = ds.n_instances
-        t0 = jnp.full((Rb, n_cols), -jnp.inf)
-        t1 = jnp.full((Rb, n_cols), jnp.inf)
-        for c in range(3):
-            o_lc = rays_o @ inv_rot_n[:, c, :].T + inv_trans_n[:, c]  # [Rb,N|C]
-            d_lc = rays_d @ inv_rot_n[:, c, :].T
-            inv_dl = 1.0 / jnp.where(jnp.abs(d_lc) < 1e-12, 1e-12, d_lc)
-            t_a = (ds.b_0[c] - o_lc) * inv_dl
-            t_b = (ds.b_1[c] - o_lc) * inv_dl
-            t0 = jnp.maximum(t0, jnp.minimum(t_a, t_b))
-            t1 = jnp.minimum(t1, jnp.maximum(t_a, t_b))
-        if cand_valid is not None:
-            t0 = jnp.where(cand_valid[None, :], t0, jnp.inf)
-            t1 = jnp.where(cand_valid[None, :], t1, -jnp.inf)
-        box_hit = (t0 < t1) & (t1 > 0) & (t0 < T_FAR)
-        t0c = jnp.clip(t0, 0.0, T_FAR)
-        t1c = jnp.clip(t1, 0.0, T_FAR)
+        C = max(C, K) if (C and max(C, K) < ds.n_instances) else 0
+        TC = self.tri_cull_budget
+        TC = TC if (TC and 0 < TC < ds.n_tris) else 0
+        fan = self._block_fan(rays_o, rays_d) if (C or TC) else None
 
-        # 2. mesh first hit ---------------------------------------------
+        # 2. mesh first hit (before intervals: t_mesh clamps t1c) --------
+        def _mesh_first_hit(v0, e1, e2, ids, valid):
+            t_all, u_all, v_all = _moller_trumbore(rays_o, rays_d, v0, e1, e2)
+            if valid is not None:
+                t_all = jnp.where(valid[None, :], t_all, jnp.inf)
+            best_local = jnp.argmin(t_all, -1)
+            tri_b = ids[best_local] if ids is not None else best_local
+            t_m = jnp.take_along_axis(t_all, best_local[:, None], -1)[:, 0]
+            u_b = jnp.take_along_axis(u_all, best_local[:, None], -1)[:, 0]
+            v_b = jnp.take_along_axis(v_all, best_local[:, None], -1)[:, 0]
+            return t_m, tri_b.astype(jnp.int32), u_b, v_b
+
         if ds.n_tris > 0:
-            TC = self.tri_cull_budget
-            if TC and TC < ds.n_tris:
-                tcand, tvalid, tdrop = self._cull_tris(rays_o, rays_d, TC)
-                cull_overflow = cull_overflow + tdrop
-                t_all, u_all, v_all = _moller_trumbore(
-                    rays_o, rays_d,
-                    ds.tri_v0[tcand], ds.tri_e1[tcand], ds.tri_e2[tcand],
+            def tri_full(_):
+                return _mesh_first_hit(ds.tri_v0, ds.tri_e1, ds.tri_e2, None, None)
+
+            if TC:
+                keep_t = self._fan_keep(fan, ds.tri_center, ds.tri_radius)
+
+                def tri_culled(_):
+                    tcand, tvalid, _ = self._keep_to_candidates(keep_t, TC)
+                    return _mesh_first_hit(
+                        ds.tri_v0[tcand], ds.tri_e1[tcand], ds.tri_e2[tcand],
+                        tcand, tvalid,
+                    )
+
+                t_mesh, tri_best, u_best, v_best = jax.lax.cond(
+                    jnp.sum(keep_t) <= TC, tri_culled, tri_full, None
                 )
-                t_all = jnp.where(tvalid[None, :], t_all, jnp.inf)
-                best_local = jnp.argmin(t_all, -1)
-                tri_best = tcand[best_local]
             else:
-                t_all, u_all, v_all = _moller_trumbore(
-                    rays_o, rays_d, ds.tri_v0, ds.tri_e1, ds.tri_e2
-                )
-                best_local = jnp.argmin(t_all, -1)
-                tri_best = best_local
-            t_mesh = jnp.take_along_axis(t_all, best_local[:, None], -1)[:, 0]
-            u_best = jnp.take_along_axis(u_all, best_local[:, None], -1)[:, 0]
-            v_best = jnp.take_along_axis(v_all, best_local[:, None], -1)[:, 0]
+                t_mesh, tri_best, u_best, v_best = tri_full(None)
             mesh_hit = jnp.isfinite(t_mesh)
         else:
             t_mesh = jnp.full((Rb,), jnp.inf)
@@ -1270,32 +1257,75 @@ class DeviceInstancer:
             u_best = v_best = jnp.zeros((Rb,))
             mesh_hit = jnp.zeros((Rb,), bool)
 
-        t1c = jnp.minimum(t1c, t_mesh[:, None])
-        valid_iv = box_hit & (t0c < t1c)
-
-        # 3. top-K nearest intervals ------------------------------------
-        # Intervals beyond the K nearest are dropped and counted separately
-        # from marching-step truncation: they are hit-level (independent of
+        # 1+3. instance slab intervals + top-K nearest -------------------
+        # Componentwise [Rb,N] planes via MXU matmuls; a [Rb,N,3] layout
+        # would lane-pad 42x (see _moller_trumbore note).  Intervals beyond
+        # the K nearest are dropped and counted separately from
+        # marching-step truncation: they are hit-level (independent of
         # max_steps_per_ray) and usually hidden behind ~full accumulated
         # opacity (measured 120 dB agreement vs max_hits=64 on the carpet
         # bench frame).
-        overflow_hits = jnp.sum(jnp.maximum(jnp.sum(valid_iv, -1) - K, 0))
-        score = jnp.where(valid_iv, t0c, jnp.inf)
-        # Top-K nearest via one stable multi-operand sort: t1c and the
-        # instance index ride along as values, replacing the row-internal
-        # take_along_axis gather (measured 85 ms/frame on the carpet bench).
-        # Stable ascending sort with an iota operand matches top_k's
-        # lowest-index-first tie order (inst_ids is ascending, so this holds
-        # under culling too — the ids are global instance indices).
-        iota = jnp.broadcast_to(inst_ids, score.shape)
-        tk0_s, tk1_s, idx_s = jax.lax.sort(
-            (score, t1c, iota), dimension=-1, num_keys=1, is_stable=True
-        )
-        tk0 = tk0_s[:, :K]
-        inst_idx = idx_s[:, :K]
-        kvalid = jnp.isfinite(tk0)
-        tk0 = jnp.where(kvalid, tk0, jnp.inf)
-        tk1 = jnp.where(kvalid, tk1_s[:, :K], jnp.inf)
+        def _intervals_topk(inv_rot_n, inv_trans_n, inst_ids, cand_valid):
+            n_cols = inv_trans_n.shape[0]
+            t0 = jnp.full((Rb, n_cols), -jnp.inf)
+            t1 = jnp.full((Rb, n_cols), jnp.inf)
+            for c in range(3):
+                o_lc = rays_o @ inv_rot_n[:, c, :].T + inv_trans_n[:, c]  # [Rb,N|C]
+                d_lc = rays_d @ inv_rot_n[:, c, :].T
+                inv_dl = 1.0 / jnp.where(jnp.abs(d_lc) < 1e-12, 1e-12, d_lc)
+                t_a = (ds.b_0[c] - o_lc) * inv_dl
+                t_b = (ds.b_1[c] - o_lc) * inv_dl
+                t0 = jnp.maximum(t0, jnp.minimum(t_a, t_b))
+                t1 = jnp.minimum(t1, jnp.maximum(t_a, t_b))
+            if cand_valid is not None:
+                t0 = jnp.where(cand_valid[None, :], t0, jnp.inf)
+                t1 = jnp.where(cand_valid[None, :], t1, -jnp.inf)
+            box_hit = (t0 < t1) & (t1 > 0) & (t0 < T_FAR)
+            t0c = jnp.clip(t0, 0.0, T_FAR)
+            t1c = jnp.clip(t1, 0.0, T_FAR)
+            t1c = jnp.minimum(t1c, t_mesh[:, None])
+            valid_iv = box_hit & (t0c < t1c)
+            overflow = jnp.sum(jnp.maximum(jnp.sum(valid_iv, -1) - K, 0))
+            score = jnp.where(valid_iv, t0c, jnp.inf)
+            # Top-K nearest via one stable multi-operand sort: t1c and the
+            # instance index ride along as values, replacing the
+            # row-internal take_along_axis gather (measured 85 ms/frame on
+            # the carpet bench).  Stable ascending sort with an iota
+            # operand matches top_k's lowest-index-first tie order
+            # (inst_ids is ascending, so this holds under culling too —
+            # the ids are global instance indices).
+            iota = jnp.broadcast_to(inst_ids, score.shape)
+            tk0_s, tk1_s, idx_s = jax.lax.sort(
+                (score, t1c, iota), dimension=-1, num_keys=1, is_stable=True
+            )
+            tk0 = tk0_s[:, :K]
+            inst_idx = idx_s[:, :K]
+            kvalid = jnp.isfinite(tk0)
+            tk0 = jnp.where(kvalid, tk0, jnp.inf)
+            tk1 = jnp.where(kvalid, tk1_s[:, :K], jnp.inf)
+            hit_box = jnp.any(box_hit & (t1 > 0), -1)
+            return tk0, tk1, inst_idx, kvalid, overflow, hit_box
+
+        def inst_full(_):
+            return _intervals_topk(
+                ds.inv_rot, ds.inv_trans,
+                jnp.arange(ds.n_instances, dtype=jnp.int32), None,
+            )
+
+        if C:
+            keep_i = self._fan_keep(fan, ds.inst_center, ds.inst_radius)
+
+            def inst_culled(_):
+                cand, cand_valid, _ = self._keep_to_candidates(keep_i, C)
+                return _intervals_topk(
+                    ds.inv_rot[cand], ds.inv_trans[cand], cand, cand_valid
+                )
+
+            tk0, tk1, inst_idx, kvalid, overflow_hits, hit_box = jax.lax.cond(
+                jnp.sum(keep_i) <= C, inst_culled, inst_full, None
+            )
+        else:
+            tk0, tk1, inst_idx, kvalid, overflow_hits, hit_box = inst_full(None)
 
         # Per-ray quadratic coefficients for sample-to-anchor distances:
         # |o + t d - c|^2 = a + 2 t b + t^2 (|d| = 1) — lets the per-sample
@@ -1366,7 +1396,7 @@ class DeviceInstancer:
                 rays_o, rays_d, t_mesh, tri_best, u_best, v_best, mesh_hit, light_dir_w
             )[:, None, :]
 
-        hit = jnp.any(box_hit & (t1 > 0), -1) | mesh_hit
+        hit = hit_box | mesh_hit
 
         return {
             "tk0": tk0, "tk1": tk1, "inst_idx": inst_idx, "kvalid": kvalid,

@@ -165,10 +165,13 @@ class InstanceRenderer(Renderer):
         steps = out.pop("_overflow_steps", 0)
         cull = out.pop("_overflow_cull", 0)
         if cull:
+            # Unreachable since the round-3 exact-branch redesign (culled
+            # branches are only taken when the keep set fits the budget);
+            # kept as a tripwire for the invariant.
             print(
-                f"WARNING: cull budget exceeded, dropped {cull} candidate "
-                f"instances/triangles before intersection (raise cull_budget / "
-                f"tri_cull_budget — the culled render is only exact at 0 drops)."
+                f"WARNING: cull dropped {cull} candidates — this should be "
+                f"impossible (exact-branch culling, device.py::_per_ray); "
+                f"please report."
             )
         if hits:
             print(

@@ -63,8 +63,10 @@ if __name__ == "__main__":
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--fused-mlp", action="store_true")
     ap.add_argument("--step-cap", type=int, default=512)
+    ap.add_argument("--cull", type=int, default=0)
+    ap.add_argument("--tri-cull", type=int, default=0)
     args = ap.parse_args()
-    renderer = build(args.chunk, args.block, args.max_hits, args.budget, args.n_samples, args.dtype, args.fused_mlp, args.step_cap)
+    renderer = build(args.chunk, args.block, args.max_hits, args.budget, args.n_samples, args.dtype, args.fused_mlp, args.step_cap, cull_budget=args.cull, tri_cull_budget=args.tri_cull)
     data = ray_data(args.size, args.size)
     t0 = time.perf_counter()
     out = renderer(**data, training=False, key=jax.random.key(0))

@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--dense", action="store_true", help="disable sorted-block path")
     ap.add_argument("--cull", type=int, default=0, help="instancer cull_budget (0 = off)")
+    ap.add_argument("--tri-cull", type=int, default=0, help="tri_cull_budget (0 = off)")
     ap.add_argument("--shadow-cull", type=int, default=0, help="shadow_cull_budget (0 = off)")
     ap.add_argument("--shadow-tri-cull", type=int, default=0, help="shadow_tri_cull_budget (0 = off)")
     ap.add_argument("--trials", type=int, default=3)
@@ -65,6 +66,8 @@ def main():
     rcfg.instancer_config.update({"max_steps_per_ray": args.step_cap})
     if args.cull:
         rcfg.instancer_config.update({"cull_budget": args.cull})
+    if args.tri_cull:
+        rcfg.instancer_config.update({"tri_cull_budget": args.tri_cull})
     if args.shadow_cull:
         rcfg.instancer_config.update({"shadow_cull_budget": args.shadow_cull})
     if args.shadow_tri_cull:
