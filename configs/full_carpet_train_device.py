@@ -18,6 +18,10 @@ config["train_dataset_config"]["device_resident"] = True
 config["train_dataset_config"]["data_loader_config"]["cache_size"] = 4
 config["model_config"]["compute_dtype"] = "bfloat16"
 config["renderer_config"]["remat_net_chunks"] = True
+# 16k-point chunks measured fastest (83.7 steps/s vs 66.5 at the reference's
+# 65536: the [chunk,256] activation chains stay closer to VMEM instead of
+# streaming HBM at every fusion boundary — docs/PERF.md §1.3).
+config["renderer_config"]["net_chunk"] = 16384
 # 100 steps per device program (train.make_fused_multi_step): divides the
 # logger cadences, so host actions keep their exact steps.
 config["steps_per_dispatch"] = 100
