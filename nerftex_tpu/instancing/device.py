@@ -29,9 +29,15 @@ sample — this is the round-trip the reference paid per chunk
 (instancer.pyx:38-54) and the benchmark's north star removes.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# A/B kill switch for the packed per-instance table gather (docs/PERF.md
+# §2.9): NERFTEX_PACKED_GATHER=0 falls back to piecewise per-column gathers.
+_PACKED_GATHER = os.environ.get("NERFTEX_PACKED_GATHER", "1") != "0"
 
 from nerftex_tpu.instancing.scene import Scene
 from nerftex_tpu.ops.volume import mean_distance
@@ -423,6 +429,54 @@ class DeviceInstancer:
         self.deterministic_offset = deterministic_offset
         self._call_counter = 0
         self._jit_cache = {}
+        self._packed_cache = {}
+
+    def _packed_inst_table(self, use_jac: bool):
+        """All per-instance columns the per-sample stage needs, concatenated
+        into ONE [N, D] table (inv_rot 9, inv_trans 3, [dir_inv 9],
+        [anchor_uv 2, uv_jacobian 6, origins 3]) so the hit-level lookup is
+        a single wide-row gather: XLA's TPU gather pays per ROW, not per
+        byte — one packed gather measured 3.6x faster than the six
+        piecewise ones at plush shapes (docs/PERF.md §2.9).
+
+        Built with numpy and cached as a host array: the first call happens
+        inside a traced branch, so a jnp-built cache entry would leak a
+        tracer across traces (the constant is lifted per-trace instead)."""
+        key = bool(use_jac)
+        if key not in self._packed_cache:
+            ds = self.ds
+            n = ds.n_instances
+            cols = [np.asarray(ds.inv_rot).reshape(n, 9), np.asarray(ds.inv_trans)]
+            if ds.uniform_scale is None:
+                cols.append(np.asarray(ds.dir_inv).reshape(n, 9))
+            if use_jac:
+                cols += [
+                    np.asarray(ds.anchor_uv),
+                    np.asarray(ds.uv_jacobian).reshape(n, 6),
+                    np.asarray(ds.origins),
+                ]
+            self._packed_cache[key] = np.concatenate(cols, -1).astype(np.float32)
+        return self._packed_cache[key]
+
+    def _gather_inst_cols(self, idx, use_jac):
+        """[*idx.shape, D] per-instance columns for instance indices `idx`
+        in _packed_inst_table's layout — one wide-row gather from the packed
+        table (default), or the piecewise per-column gathers it replaced
+        (NERFTEX_PACKED_GATHER=0, kept for A/B provenance)."""
+        if _PACKED_GATHER:
+            return jnp.asarray(self._packed_inst_table(use_jac))[idx]
+        ds = self.ds
+        sh = idx.shape
+        cols = [ds.inv_rot[idx].reshape(*sh, 9), ds.inv_trans[idx]]
+        if ds.uniform_scale is None:
+            cols.append(ds.dir_inv[idx].reshape(*sh, 9))
+        if use_jac:
+            cols += [
+                ds.anchor_uv[idx],
+                ds.uv_jacobian[idx].reshape(*sh, 6),
+                ds.origins[idx],
+            ]
+        return jnp.concatenate(cols, -1)
 
     # -- public API (instancer.pyx:34-54 semantics) ---------------------
 
@@ -1013,16 +1067,7 @@ class DeviceInstancer:
             and self.texture_lookup == "jacobian"
             and ds.anchor_uv is not None
         )
-        cols = [ds.inv_rot[inst_h].reshape(Rb, K, 9), ds.inv_trans[inst_h]]
-        if ds.uniform_scale is None:
-            cols.append(ds.dir_inv[inst_h].reshape(Rb, K, 9))
-        if use_jac:
-            cols += [
-                ds.anchor_uv[inst_h],
-                ds.uv_jacobian[inst_h].reshape(Rb, K, 6),
-                ds.origins[inst_h],
-            ]
-        table = jnp.concatenate(cols, -1)                            # [Rb,K,D]
+        table = self._gather_inst_cols(inst_h, use_jac)              # [Rb,K,D]
         vals = _onehot_pick(oh, table)                               # [Rb,S,D]
 
         # local transforms ---------------------------------------------
@@ -1493,23 +1538,32 @@ class DeviceInstancer:
         oh_k = sel_k[:, None] == jnp.arange(K)[None, :]
         inst = jnp.sum(jnp.where(oh_k, inst_idx, 0), -1)             # [M]
 
-        # local transforms ----------------------------------------------
-        rot = ds.inv_rot[inst]                                       # [M,3,3]
-        pts_l = jnp.einsum("mij,mj->mi", rot, pts_w) + ds.inv_trans[inst]
+        # local transforms (one packed per-instance gather, see
+        # _packed_inst_table) ------------------------------------------
+        use_jac = (
+            ds.texture_parameter_idxs
+            and self.texture_lookup == "jacobian"
+            and ds.anchor_uv is not None
+        )
+        vals = self._gather_inst_cols(inst, use_jac)                 # [M,D]
+        rot = vals[..., 0:9].reshape(-1, 3, 3)
+        pts_l = jnp.einsum("mij,mj->mi", rot, pts_w) + vals[..., 9:12]
+        d0 = 12
         if ds.uniform_scale is not None:
             dinv = rot * ds.uniform_scale
         else:
-            dinv = ds.dir_inv[inst]
+            dinv = vals[..., d0:d0 + 9].reshape(-1, 3, 3)
+            d0 += 9
         dirs_l = jnp.einsum("mij,mj->mi", dinv, d_g)
 
         # texture parameters --------------------------------------------
         params_out = parameters[ray_idx]                             # [M,P]
         uv = None
         if ds.texture_parameter_idxs:
-            if self.texture_lookup == "jacobian" and ds.anchor_uv is not None:
-                a_uv = ds.anchor_uv[inst]
-                jac = ds.uv_jacobian[inst]
-                rel = pts_w - ds.origins[inst]
+            if use_jac:
+                a_uv = vals[..., d0:d0 + 2]
+                jac = vals[..., d0 + 2:d0 + 8].reshape(-1, 2, 3)
+                rel = pts_w - vals[..., d0 + 8:d0 + 11]
                 uv = jnp.clip(a_uv + jnp.einsum("mij,mj->mi", jac, rel), 0.0, 1.0)
             elif ds.tri_candidates is not None:
                 cand = ds.tri_candidates[inst]                       # [M,Kt]

@@ -598,3 +598,55 @@ def test_shadow_cull_exact_even_undersized(assets):
     for k in sorted(ref):
         va, vb = np.asarray(ref[k]), np.asarray(out[k])
         assert np.array_equal(va, vb, equal_nan=True), f"{k} differs with tiny shadow budget"
+
+
+def test_packed_inst_gather_bitexact_vs_piecewise(assets, monkeypatch):
+    """The packed per-instance table gather (docs/PERF.md §2.9) is a pure
+    layout change: flipping NERFTEX_PACKED_GATHER back to the piecewise
+    per-column gathers must reproduce every output bit-for-bit on both the
+    grid and the compacted sampling paths (jacobian texturing active so the
+    full packed column set is exercised)."""
+    from nerftex_tpu.instancing import device as device_mod
+
+    def build():
+        scene = Scene(
+            b_0=[-1.4, -1.2, -0.1],
+            b_1=[1.2, 1.2, 1.8],
+            textures=[os.path.join(assets, "smooth_checkerboard.png"), "", "", "", "light"],
+            instance_sampling_method="nearest",
+            seed=0,
+        )
+        scene.distribute_instances_on_mesh(
+            os.path.join(assets, "cloth_mesh.ply"), 0.09,
+            os.path.join(assets, "cloth_anchor_points.ply"),
+        )
+        return DeviceInstancer(scene, max_hits=16, ray_block=8, shadow_samples=8)
+
+    rs = np.random.RandomState(3)
+    n_rays = 8
+    rays_o = np.concatenate(
+        [rs.uniform(-0.5, 0.5, (n_rays, 2)), np.full((n_rays, 1), 4.0)], -1
+    ).astype(np.float32)
+    rays_d = np.tile(np.array([0, 0, -1.0], np.float32), (n_rays, 1))
+    params = np.tile(np.array([1.0, 1, 1, 0.1, 0, 0, -1.0], np.float32), (n_rays, 1))
+
+    results = {}
+    for packed in (True, False):
+        monkeypatch.setattr(device_mod, "_PACKED_GATHER", packed)
+        dev = build()  # fresh instancer: fresh jit + packed caches
+        grid = dev.get_model_input(
+            rays_o, rays_d, params, 64, 0.02, key=jax.random.key(1)
+        )
+        comp = dev.get_model_input_compact(
+            rays_o, rays_d, params, 64, 0.02, 48, key=jax.random.key(1)
+        )
+        results[packed] = (
+            {k: np.asarray(v) for k, v in grid.items()},
+            {k: np.asarray(v) for k, v in comp.items()},
+        )
+
+    for path_idx, name in ((0, "grid"), (1, "compact")):
+        a, b = results[True][path_idx], results[False][path_idx]
+        assert sorted(a) == sorted(b)
+        for k in sorted(a):
+            assert np.array_equal(a[k], b[k], equal_nan=True), f"{name}/{k}"
