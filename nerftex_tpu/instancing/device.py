@@ -39,6 +39,10 @@ import numpy as np
 # §2.9): NERFTEX_PACKED_GATHER=0 falls back to piecewise per-column gathers.
 _PACKED_GATHER = os.environ.get("NERFTEX_PACKED_GATHER", "1") != "0"
 
+# A/B kill switch for interval top-K selection (docs/PERF.md §2.10):
+# NERFTEX_TOPK_SELECT=0 falls back to the full 3-operand lax.sort.
+_TOPK_SELECT = os.environ.get("NERFTEX_TOPK_SELECT", "1") != "0"
+
 from nerftex_tpu.instancing.scene import Scene
 from nerftex_tpu.ops.volume import mean_distance
 
@@ -1339,15 +1343,36 @@ class DeviceInstancer:
             # operand matches top_k's lowest-index-first tie order
             # (inst_ids is ascending, so this holds under culling too —
             # the ids are global instance indices).
-            iota = jnp.broadcast_to(inst_ids, score.shape)
-            tk0_s, tk1_s, idx_s = jax.lax.sort(
-                (score, t1c, iota), dimension=-1, num_keys=1, is_stable=True
-            )
-            tk0 = tk0_s[:, :K]
-            inst_idx = idx_s[:, :K]
-            kvalid = jnp.isfinite(tk0)
-            tk0 = jnp.where(kvalid, tk0, jnp.inf)
-            tk1 = jnp.where(kvalid, tk1_s[:, :K], jnp.inf)
+            if _TOPK_SELECT:
+                # XLA's TPU top_k is a partial reduction — far cheaper than
+                # bitonic-sorting all n_cols with two value operands riding
+                # along when K << n_cols.  -(-x) is a bitwise sign flip, so
+                # tk0 is bit-identical to the sorted path; equal scores pick
+                # the lowest position first, matching the stable sort's
+                # original-order tie rule.  The two companion columns come
+                # from one fused one-hot select over positions (never
+                # materialized: XLA fuses compare + where + sum into the
+                # reduction, the standard gather replacement here).
+                neg, sel = jax.lax.top_k(-score, K)                  # [Rb,K]
+                tk0 = -neg
+                oh = sel[:, :, None] == jnp.arange(n_cols)[None, None, :]
+                tk1_k = jnp.sum(jnp.where(oh, t1c[:, None, :], 0.0), -1)
+                inst_idx = jnp.sum(
+                    jnp.where(oh, inst_ids[None, None, :], 0), -1
+                ).astype(jnp.int32)
+                kvalid = jnp.isfinite(tk0)
+                tk0 = jnp.where(kvalid, tk0, jnp.inf)
+                tk1 = jnp.where(kvalid, tk1_k, jnp.inf)
+            else:
+                iota = jnp.broadcast_to(inst_ids, score.shape)
+                tk0_s, tk1_s, idx_s = jax.lax.sort(
+                    (score, t1c, iota), dimension=-1, num_keys=1, is_stable=True
+                )
+                tk0 = tk0_s[:, :K]
+                inst_idx = idx_s[:, :K]
+                kvalid = jnp.isfinite(tk0)
+                tk0 = jnp.where(kvalid, tk0, jnp.inf)
+                tk1 = jnp.where(kvalid, tk1_s[:, :K], jnp.inf)
             hit_box = jnp.any(box_hit & (t1 > 0), -1)
             return tk0, tk1, inst_idx, kvalid, overflow, hit_box
 

@@ -650,3 +650,44 @@ def test_packed_inst_gather_bitexact_vs_piecewise(assets, monkeypatch):
         assert sorted(a) == sorted(b)
         for k in sorted(a):
             assert np.array_equal(a[k], b[k], equal_nan=True), f"{name}/{k}"
+
+
+def test_topk_select_bitexact_vs_sort(monkeypatch):
+    """The interval top-K via lax.top_k + fused one-hot selects (docs/PERF.md
+    §2.10) must reproduce the stable multi-operand sort bit-for-bit —
+    including exact t0 ties (identical stacked instances) and the culled
+    candidate branch (non-trivial inst_ids)."""
+    from nerftex_tpu.instancing import device as device_mod
+
+    scene = _simple_scene(seed=0)
+    rs = np.random.RandomState(7)
+    # Three IDENTICAL instances (exact t0/t1 ties: tie order must match) +
+    # a stack of shifted/rotated ones so K=4 < n_instances truncates.
+    for _ in range(3):
+        scene.add_instance(np.eye(4, dtype=np.float32))
+    for i in range(9):
+        q = rs.randn(3, 3)
+        u, _, vt = np.linalg.svd(q)
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = (u @ vt) * 0.5
+        m[:3, 3] = [rs.uniform(-0.3, 0.3), rs.uniform(-0.3, 0.3), 0.4 * i]
+        scene.add_instance(m)
+
+    rays_o, rays_d = _down_rays(16, z=6.0, spread=0.4, seed=3)
+    prm = np.zeros((16, 0), np.float32)
+
+    results = {}
+    for flag in (True, False):
+        monkeypatch.setattr(device_mod, "_TOPK_SELECT", flag)
+        outs = []
+        for cull in (0, 8):  # full branch and culled-candidate branch
+            dev = DeviceInstancer(scene, max_hits=4, ray_block=8, cull_budget=cull)
+            out = dev.get_model_input(rays_o, rays_d, prm, 64, 0.05, key=jax.random.key(2))
+            outs.append({k: np.asarray(v) for k, v in out.items()})
+        results[flag] = outs
+
+    for i, name in enumerate(("full", "culled")):
+        a, b = results[True][i], results[False][i]
+        assert sorted(a) == sorted(b)
+        for k in sorted(a):
+            assert np.array_equal(a[k], b[k], equal_nan=True), f"{name}/{k}"
