@@ -43,6 +43,10 @@ _PACKED_GATHER = os.environ.get("NERFTEX_PACKED_GATHER", "1") != "0"
 # NERFTEX_TOPK_SELECT=0 falls back to the full 3-operand lax.sort.
 _TOPK_SELECT = os.environ.get("NERFTEX_TOPK_SELECT", "1") != "0"
 
+# A/B kill switch for the event-walk active count (docs/PERF.md §2.10):
+# NERFTEX_EVENT_CUMSUM=0 falls back to O(K^2) compare-all counting.
+_EVENT_CUMSUM = os.environ.get("NERFTEX_EVENT_CUMSUM", "1") != "0"
+
 from nerftex_tpu.instancing.scene import Scene
 from nerftex_tpu.ops.volume import mean_distance
 
@@ -1409,17 +1413,31 @@ class DeviceInstancer:
             sel_b = jnp.sum(rays_d[:, None, :] * diff, -1)
 
         # 4. union of intervals via sorted events ------------------------
-        # Single-key sort of the event times; the active count after event j
-        # is computed by compare-all counting (#starts <= t minus
-        # #ends <= t) instead of argsort + permuted cumsum — fewer exotic
-        # ops for the TPU lowering, same result including tie handling.
         times = jnp.concatenate([tk0, tk1], -1)                      # [Rb,2K]
-        times_s = jnp.sort(times, -1)
-        finite_t = jnp.isfinite(times_s)
-        t_cmp = jnp.where(finite_t, times_s, 0.0)
-        starts_le = jnp.sum(tk0[:, None, :] <= t_cmp[:, :, None], axis=-1)
-        ends_le = jnp.sum(tk1[:, None, :] <= t_cmp[:, :, None], axis=-1)
-        count = jnp.where(finite_t, starts_le - ends_le, 0)
+        if _EVENT_CUMSUM:
+            # One stable 2-operand sort carrying +-1 event deltas; the
+            # active count is their prefix sum — O(K log K) instead of the
+            # O(K^2) compare-all reduction.  Within a tie group the prefix
+            # count differs from compare-all only at non-final positions,
+            # where gap == 0 forces seg_len to 0 either way (starts sort
+            # before ends at equal t: concat order + stability), so
+            # seg_len — count's only consumer — is bit-identical.
+            delta = jnp.concatenate(
+                [jnp.ones_like(tk0, dtype=jnp.int32),
+                 jnp.full_like(tk1, -1, dtype=jnp.int32)], -1
+            )
+            times_s, delta_s = jax.lax.sort(
+                (times, delta), dimension=-1, num_keys=1, is_stable=True
+            )
+            finite_t = jnp.isfinite(times_s)
+            count = jnp.cumsum(delta_s, -1)
+        else:
+            times_s = jnp.sort(times, -1)
+            finite_t = jnp.isfinite(times_s)
+            t_cmp = jnp.where(finite_t, times_s, 0.0)
+            starts_le = jnp.sum(tk0[:, None, :] <= t_cmp[:, :, None], axis=-1)
+            ends_le = jnp.sum(tk1[:, None, :] <= t_cmp[:, :, None], axis=-1)
+            count = jnp.where(finite_t, starts_le - ends_le, 0)
         nxt = jnp.concatenate([times_s[:, 1:], times_s[:, -1:]], -1)
         gap = jnp.where(jnp.isfinite(nxt) & finite_t, nxt - times_s, 0.0)
         seg_len = jnp.where(count > 0, gap, 0.0)

@@ -691,3 +691,45 @@ def test_topk_select_bitexact_vs_sort(monkeypatch):
         assert sorted(a) == sorted(b)
         for k in sorted(a):
             assert np.array_equal(a[k], b[k], equal_nan=True), f"{name}/{k}"
+
+
+def test_event_cumsum_bitexact_vs_compare_all(monkeypatch):
+    """The sort-carried +-1 prefix count (docs/PERF.md §2.10) must produce
+    outputs bit-identical to the O(K^2) compare-all event counting —
+    including exact shared boundaries (abutting and identical instances,
+    where event-time ties exercise the differing within-tie counts whose
+    gap==0 makes them unobservable)."""
+    from nerftex_tpu.instancing import device as device_mod
+
+    scene = _simple_scene(seed=0)
+    # Identical instances (fully tied events), an abutting stack (end == next
+    # start exactly: box height 1 at z offsets 0/1/2), and rotated ones.
+    rs = np.random.RandomState(11)
+    for _ in range(2):
+        scene.add_instance(np.eye(4, dtype=np.float32))
+    for i in range(3):
+        m = np.eye(4, dtype=np.float32)
+        m[2, 3] = float(i)
+        scene.add_instance(m)
+    for i in range(6):
+        q = rs.randn(3, 3)
+        u, _, vt = np.linalg.svd(q)
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = (u @ vt) * 0.6
+        m[:3, 3] = [rs.uniform(-0.2, 0.2), rs.uniform(-0.2, 0.2), 0.7 * i]
+        scene.add_instance(m)
+
+    rays_o, rays_d = _down_rays(16, z=7.0, spread=0.3, seed=5)
+    prm = np.zeros((16, 0), np.float32)
+
+    results = {}
+    for flag in (True, False):
+        monkeypatch.setattr(device_mod, "_EVENT_CUMSUM", flag)
+        dev = DeviceInstancer(scene, max_hits=8, ray_block=8)
+        out = dev.get_model_input(rays_o, rays_d, prm, 96, 0.04, key=jax.random.key(4))
+        results[flag] = {k: np.asarray(v) for k, v in out.items()}
+
+    a, b = results[True], results[False]
+    assert sorted(a) == sorted(b)
+    for k in sorted(a):
+        assert np.array_equal(a[k], b[k], equal_nan=True), f"{k}"
