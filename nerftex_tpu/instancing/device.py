@@ -47,6 +47,11 @@ _TOPK_SELECT = os.environ.get("NERFTEX_TOPK_SELECT", "1") != "0"
 # NERFTEX_EVENT_CUMSUM=0 falls back to O(K^2) compare-all counting.
 _EVENT_CUMSUM = os.environ.get("NERFTEX_EVENT_CUMSUM", "1") != "0"
 
+# Experimental (default OFF until A/B'd): fold the per-ray anchor-distance
+# coefficients into the interval top-K one-hot select instead of a separate
+# [Rb,K,3] origins gather.  Requires _TOPK_SELECT.
+_SELECT_COEFS = os.environ.get("NERFTEX_SELECT_COEFS", "0") != "0"
+
 from nerftex_tpu.instancing.scene import Scene
 from nerftex_tpu.ops.volume import mean_distance
 
@@ -1318,7 +1323,12 @@ class DeviceInstancer:
         # max_steps_per_ray) and usually hidden behind ~full accumulated
         # opacity (measured 120 dB agreement vs max_hits=64 on the carpet
         # bench frame).
-        def _intervals_topk(inv_rot_n, inv_trans_n, inst_ids, cand_valid):
+        need_coefs = (
+            _SELECT_COEFS and _TOPK_SELECT
+            and ds.instance_sampling_method != "random"
+        )
+
+        def _intervals_topk(inv_rot_n, inv_trans_n, inst_ids, cand_valid, origins_n):
             n_cols = inv_trans_n.shape[0]
             t0 = jnp.full((Rb, n_cols), -jnp.inf)
             t1 = jnp.full((Rb, n_cols), jnp.inf)
@@ -1367,6 +1377,17 @@ class DeviceInstancer:
                 kvalid = jnp.isfinite(tk0)
                 tk0 = jnp.where(kvalid, tk0, jnp.inf)
                 tk1 = jnp.where(kvalid, tk1_k, jnp.inf)
+                if need_coefs:
+                    # Anchor-distance quadratic coefficients per candidate,
+                    # folded through the same one-hot — replaces the
+                    # downstream [Rb,K,3] origins gather.  Identical
+                    # per-element arithmetic to the gathered form, so
+                    # bit-exact (the selected candidate IS inst_idx's).
+                    diff_c = rays_o[:, None, :] - origins_n[None, :, :]
+                    a_c = jnp.sum(diff_c * diff_c, -1)               # [Rb,C]
+                    b_c = jnp.sum(rays_d[:, None, :] * diff_c, -1)
+                    sel_a_k = jnp.sum(jnp.where(oh, a_c[:, None, :], 0.0), -1)
+                    sel_b_k = jnp.sum(jnp.where(oh, b_c[:, None, :], 0.0), -1)
             else:
                 iota = jnp.broadcast_to(inst_ids, score.shape)
                 tk0_s, tk1_s, idx_s = jax.lax.sort(
@@ -1378,12 +1399,14 @@ class DeviceInstancer:
                 tk0 = jnp.where(kvalid, tk0, jnp.inf)
                 tk1 = jnp.where(kvalid, tk1_s[:, :K], jnp.inf)
             hit_box = jnp.any(box_hit & (t1 > 0), -1)
-            return tk0, tk1, inst_idx, kvalid, overflow, hit_box
+            if not need_coefs:
+                sel_a_k = sel_b_k = None
+            return tk0, tk1, inst_idx, kvalid, overflow, hit_box, sel_a_k, sel_b_k
 
         def inst_full(_):
             return _intervals_topk(
                 ds.inv_rot, ds.inv_trans,
-                jnp.arange(ds.n_instances, dtype=jnp.int32), None,
+                jnp.arange(ds.n_instances, dtype=jnp.int32), None, ds.origins,
             )
 
         if C:
@@ -1392,21 +1415,22 @@ class DeviceInstancer:
             def inst_culled(_):
                 cand, cand_valid, _ = self._keep_to_candidates(keep_i, C)
                 return _intervals_topk(
-                    ds.inv_rot[cand], ds.inv_trans[cand], cand, cand_valid
+                    ds.inv_rot[cand], ds.inv_trans[cand], cand, cand_valid,
+                    ds.origins[cand],
                 )
 
-            tk0, tk1, inst_idx, kvalid, overflow_hits, hit_box = jax.lax.cond(
+            tk0, tk1, inst_idx, kvalid, overflow_hits, hit_box, sel_a, sel_b = jax.lax.cond(
                 jnp.sum(keep_i) <= C, inst_culled, inst_full, None
             )
         else:
-            tk0, tk1, inst_idx, kvalid, overflow_hits, hit_box = inst_full(None)
+            tk0, tk1, inst_idx, kvalid, overflow_hits, hit_box, sel_a, sel_b = inst_full(None)
 
         # Per-ray quadratic coefficients for sample-to-anchor distances:
         # |o + t d - c|^2 = a + 2 t b + t^2 (|d| = 1) — lets the per-sample
         # stage compute nearest/blend distances with pure arithmetic instead
-        # of an [M,K,3] origins gather + reduce.
-        sel_a = sel_b = None
-        if ds.instance_sampling_method != "random":
+        # of an [M,K,3] origins gather + reduce.  With _SELECT_COEFS the
+        # branch already selected them through the top-K one-hot.
+        if sel_a is None and ds.instance_sampling_method != "random":
             oc = ds.origins[inst_idx]                                # [Rb,K,3]
             diff = rays_o[:, None, :] - oc
             sel_a = jnp.sum(diff * diff, -1)

@@ -733,3 +733,42 @@ def test_event_cumsum_bitexact_vs_compare_all(monkeypatch):
     assert sorted(a) == sorted(b)
     for k in sorted(a):
         assert np.array_equal(a[k], b[k], equal_nan=True), f"{k}"
+
+
+def test_select_coefs_bitexact(monkeypatch):
+    """Folding the anchor-distance coefficients through the top-K one-hot
+    (NERFTEX_SELECT_COEFS=1) must be bit-identical to the gathered form on
+    both the full and culled candidate branches."""
+    from nerftex_tpu.instancing import device as device_mod
+
+    # Premise guard (vacuousness trap): the fold activates only with the
+    # top-K select path on and a non-random sampling method.
+    assert device_mod._TOPK_SELECT
+    scene = _simple_scene(seed=0, instance_sampling_method="nearest")
+    rs = np.random.RandomState(13)
+    for i in range(10):
+        q = rs.randn(3, 3)
+        u, _, vt = np.linalg.svd(q)
+        m = np.eye(4, dtype=np.float32)
+        m[:3, :3] = (u @ vt) * 0.5
+        m[:3, 3] = [rs.uniform(-0.3, 0.3), rs.uniform(-0.3, 0.3), 0.45 * i]
+        scene.add_instance(m)
+
+    rays_o, rays_d = _down_rays(16, z=6.0, spread=0.4, seed=9)
+    prm = np.zeros((16, 0), np.float32)
+
+    results = {}
+    for flag in (True, False):
+        monkeypatch.setattr(device_mod, "_SELECT_COEFS", flag)
+        outs = []
+        for cull in (0, 6):
+            dev = DeviceInstancer(scene, max_hits=4, ray_block=8, cull_budget=cull)
+            out = dev.get_model_input(rays_o, rays_d, prm, 64, 0.05, key=jax.random.key(6))
+            outs.append({k: np.asarray(v) for k, v in out.items()})
+        results[flag] = outs
+
+    for i, name in enumerate(("full", "culled")):
+        a, b = results[True][i], results[False][i]
+        assert sorted(a) == sorted(b)
+        for k in sorted(a):
+            assert np.array_equal(a[k], b[k], equal_nan=True), f"{name}/{k}"
