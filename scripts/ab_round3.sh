@@ -12,6 +12,8 @@ cd /root/repo
 export PYTHONPATH=/root/repo:$PYTHONPATH
 OUT=/tmp/ab_packed.log
 : > $OUT
+UNAVAIL=0         # global backend-unavailable budget: abort the chain
+UNAVAIL_MAX=14    # rather than churn 25-min failures for days
 
 leg () {
   local tag=$1; shift
@@ -23,6 +25,11 @@ leg () {
     echo "--- exit $rc ($(date +%H:%M:%S)) ---" >> $OUT
     if [ $rc -eq 0 ]; then return 0; fi
     if ! grep -q "Unable to initialize backend" /tmp/ab_leg.out; then return $rc; fi
+    UNAVAIL=$((UNAVAIL+1))
+    if [ $UNAVAIL -ge $UNAVAIL_MAX ]; then
+      echo "## ABORT: $UNAVAIL backend-unavailable failures" >> $OUT
+      exit 2
+    fi
     sleep 240
   done
   return 1
