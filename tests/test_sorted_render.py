@@ -1,10 +1,21 @@
 """Occupancy-sorted bucketed render path (device.render_grid_sorted):
 equivalence with the dense grid path and empty-block handling."""
 
+import os
+
 import numpy as np
 import pytest
 
 from nerftex_tpu.utils import rng
+
+
+@pytest.fixture(scope="module")
+def assets(tmp_path_factory):
+    from nerftex_tpu.tools import gen_assets
+
+    out = tmp_path_factory.mktemp("meshes")
+    gen_assets.generate(str(out), seed=0)
+    return str(out)
 
 
 def _three_box_renderer(sorted_blocks, n=96, **kw):
@@ -99,6 +110,90 @@ def test_sorted_shadow_scene_matches_dense():
         out = r(**data, training=False, key=jax.random.key(7))
         outs[sb] = np.asarray(out["color_pred"])[0]
     np.testing.assert_allclose(outs[True], outs[False], atol=5e-7)
+
+
+def test_sorted_all_knobs_matches_dense(assets):
+    """The full shipped bench knob stack at once — primary instance/tri cull
+    budgets, shadow instance/tri cull budgets, hit-capacity buckets (K=64),
+    occupancy-sorted blocks — on a real cloth-mesh scene with instances,
+    textures, a point of light and the mesh terminator.  Every knob is exact
+    by construction (culled branches are taken only when the keep sets fit;
+    bucket slices cover the finite prefix), so the composited frame must
+    match the dense, budget-free path.  This is the integration net for the
+    interactions the per-knob instancer tests cannot see (budgets evaluated
+    per SORTED block on permuted rays, sliced K-tier tables feeding the
+    culled branches, terminator + shadow tables flowing through the permute).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from nerftex_tpu.instancing.instancer import Instancer
+    from nerftex_tpu.render.instance_renderer import InstanceRenderer
+    from nerftex_tpu.models.mlp import Model
+
+    def apply(params, pos, dirs, prms):
+        r2 = jnp.sum(pos**2, -1, keepdims=True)
+        color = 0.5 + 0.5 * jnp.tanh(pos + 0.0 * prms[..., :3])
+        return color, 6.0 * jnp.exp(-3.0 * r2) + 0.0 * params["w"].sum()
+
+    def build(sorted_blocks, budgets):
+        rng.set_seed(0)
+        inst = Instancer(
+            b_0=[-1.4, -1.2, -0.1], b_1=[1.2, 1.2, 1.8],
+            mesh_path=os.path.join(assets, "cloth_mesh.ply"),
+            patch_origins_path=os.path.join(assets, "cloth_anchor_points.ply"),
+            patch_scale=0.09, jitter_amount=1.0, cast_shadow_rays=True,
+            textures=[os.path.join(assets, "smooth_checkerboard.png"),
+                      "", "", "", "light"],
+            instance_sampling_method="nearest",
+            max_hits=64,            # K >= 64 activates hit-capacity buckets
+            ray_block=16, shadow_samples=8, max_steps_per_ray=48,
+            **budgets,
+        )
+        model = Model("model", {"w": jnp.zeros(1)}, apply)
+        return InstanceRenderer(
+            instancer_config=inst, model=model, n_samples=48, step_size=0.02,
+            render_chunk=128, sample_budget_per_ray=0,
+            sorted_blocks=sorted_blocks,
+        )
+
+    # 128 rays fanning over the cloth: blocks land in different occupancy
+    # and hit tiers, and the per-block keep sets straddle the budgets below
+    # (some blocks take the culled branch, busy ones fall back to full).
+    idx = np.arange(128)
+    rays_o = np.stack(
+        [(idx % 16 - 7.5) * 0.16, (idx // 16 - 3.5) * 0.28, np.full(128, 4.0)],
+        -1,
+    ).astype(np.float32)
+    data = dict(
+        rays_o=rays_o[None],
+        rays_d=np.tile(np.array([0, 0, -1.0], np.float32), (1, 128, 1)),
+        t=np.tile([0.5, 7.5], (1, 128, 1)).astype(np.float32),
+        parameters=np.array([[1, 1, 1, 0.1, 0, 0, 1.0]], np.float32),
+        cone_scale=np.full((1, 128, 1), 0.01, np.float32),
+    )
+
+    ref = build(False, {})
+    n, n_tris = ref.instancer.n_instances(), ref.instancer.device.ds.n_tris
+    budgets = dict(
+        cull_budget=max(2, n // 2), tri_cull_budget=max(2, n_tris // 2),
+        shadow_cull_budget=max(2, n // 2),
+        shadow_tri_cull_budget=max(2, n_tris // 2),
+    )
+    out_ref = ref(**data, training=False, key=jax.random.key(11))
+    out_knob = build(True, budgets)(**data, training=False, key=jax.random.key(11))
+
+    color_r = np.asarray(out_ref["color_pred"])[0]
+    color_k = np.asarray(out_knob["color_pred"])[0]
+    alpha_r = np.asarray(out_ref["alpha_pred"])[0]
+    alpha_k = np.asarray(out_knob["alpha_pred"])[0]
+    # Tri-cull's gathered-subset Moller-Trumbore can compile with different
+    # fma contraction than the full layout (see
+    # test_tri_cull_budget_bitexact_when_covering) — tolerance is epsilon
+    # scale, far below any real divergence.
+    np.testing.assert_allclose(color_k, color_r, atol=2e-6)
+    np.testing.assert_allclose(alpha_k, alpha_r, atol=2e-6)
+    assert alpha_r.max() > 0.3  # the scene actually rendered
 
 
 def test_sorted_hit_bucketing_matches_dense():
