@@ -741,9 +741,10 @@ def test_select_coefs_bitexact(monkeypatch):
     both the full and culled candidate branches."""
     from nerftex_tpu.instancing import device as device_mod
 
-    # Premise guard (vacuousness trap): the fold activates only with the
-    # top-K select path on and a non-random sampling method.
-    assert device_mod._TOPK_SELECT
+    # Premise (vacuousness trap): the fold activates only with the top-K
+    # select path on and a non-random sampling method — force it on so the
+    # test also holds under a NERFTEX_TOPK_SELECT=0 environment.
+    monkeypatch.setattr(device_mod, "_TOPK_SELECT", True)
     scene = _simple_scene(seed=0, instance_sampling_method="nearest")
     rs = np.random.RandomState(13)
     for i in range(10):
