@@ -353,11 +353,19 @@ class MipRenderer(Renderer):
     """Cone-marching renderer with integrated positional encodings for
     training prefiltered models (renderer.py:356-473)."""
 
-    def __init__(self, blur_idx: int = None, **kwargs):
+    def __init__(self, blur_idx: int = None, mip_importance: bool = False, **kwargs):
         super().__init__(**kwargs)
         # Hide blur_idx from the base class's per-sample filter handling
         # (renderer.py:362-363).
         self.blur_idx_mip = blur_idx
+        # Opt-in extension BEYOND the reference: the reference raises
+        # NotImplementedError for n_importance > 0 on the mip path
+        # (renderer.py:403-404), and so do we by default.  With
+        # mip_importance=True a hierarchical pass resamples segment fence
+        # posts from the coarse weights histogram (mip-NeRF style:
+        # sample_pdf over bins = the S+1 posts, weights = the S segment
+        # weights) and re-marches the union of posts (PARITY.md).
+        self.mip_importance = mip_importance
 
     def render_rays(
         self,
@@ -372,13 +380,13 @@ class MipRenderer(Renderer):
         bkgd_color,
         training,
     ) -> dict:
-        if self.n_importance > 0:
+        if self.n_importance > 0 and not self.mip_importance:
             raise NotImplementedError(
                 "Importance sampling for mip-NeRF style rendering is not implemented "
-                "(parity with renderer.py:403-404)."
+                "(parity with renderer.py:403-404; opt in with mip_importance: true)."
             )
 
-        k_perturb, k_noise = jax.random.split(key, 2)
+        k_perturb, k_noise, k_noise2, k_imp = jax.random.split(key, 4)
 
         miss = jnp.isinf(t[:, 0])
         t_safe = jnp.where(miss[:, None], 0.0, t)
@@ -401,7 +409,7 @@ class MipRenderer(Renderer):
             params["model"], self.model, pts, rays_d_n, parameters, None, None
         )
 
-        color_map, alpha_map, _, _ = volume.composite(
+        color_map, alpha_map, weights, _ = volume.composite(
             color,
             density,
             z_vals,
@@ -415,6 +423,50 @@ class MipRenderer(Renderer):
         )
 
         out = {"color_pred": color_map, "alpha_pred": alpha_map}
+
+        if self.n_importance > 0:
+            # Hierarchical mip pass (extension; see __init__).  New fence
+            # posts are drawn from the piecewise-constant segment pdf —
+            # bins are the S+1 posts, weights the S segment weights — then
+            # the union of posts defines S + n_importance finer frustums
+            # for the fine march.  Unlike the classic path's pinned
+            # det=self.perturb quirk (renderer.py:128), this extension uses
+            # the conventional sense: stratified draws while training with
+            # perturb, deterministic at eval.
+            z_samples = volume.sample_pdf(
+                z_vals, weights, self.n_importance,
+                det=not (self.perturb and training), key=k_imp,
+            )
+            z_samples = jax.lax.stop_gradient(z_samples)
+            z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
+
+            mean_i, cov_diag_i = volume.cone_segment_gaussians(
+                rays_o, rays_d, z_all, blur
+            )
+            pts_i = jnp.concatenate([mean_i, cov_diag_i], axis=-1)
+            fine_params = params.get("model_fine", params["model"])
+            fine_model = self.model if self.model_fine is None else self.model_fine
+            color_i, density_i = self._evaluate_model(
+                fine_params, fine_model, pts_i, rays_d_n, parameters, None, None
+            )
+            color_map_i, alpha_map_i, _, _ = volume.composite(
+                color_i,
+                density_i,
+                z_all,
+                rays_d,
+                composite_bkgd=False,
+                bkgd_color=bkgd_color,
+                raw_noise_std=self.raw_noise_std,
+                noise_key=k_noise2,
+                map_exr=self.map_exr,
+                repeat_last_dist=False,
+            )
+            out = {
+                "color_pred": color_map_i,
+                "alpha_pred": alpha_map_i,
+                "color_pred_coarse": color_map,
+                "alpha_pred_coarse": alpha_map,
+            }
 
         valid = (~miss).astype(jnp.float32)
         for name in list(out):

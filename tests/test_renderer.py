@@ -212,3 +212,36 @@ def test_remat_net_chunks_matches_plain_gradients():
     g0 = jax.grad(lambda p: loss(p, False))(params)
     g1 = jax.grad(lambda p: loss(p, True))(params)
     np.testing.assert_allclose(np.asarray(g0["w"]), np.asarray(g1["w"]), rtol=1e-4, atol=1e-4)
+
+
+def test_mip_importance_opt_in_resolves_thin_slab():
+    """mip_importance=True (extension; the reference raises
+    NotImplementedError here, renderer.py:403-404) runs a hierarchical fine
+    pass over fence posts resampled from the coarse weights.  A density slab
+    thinner than the coarse segment spacing is invisible to the 8-segment
+    coarse march (every frustum mean falls outside it) but must be resolved
+    by the 8+32-post fine march."""
+    sigma, z_lo, z_hi = 20.0, 1.45, 1.55
+
+    def apply(params, pos, dirs, prms):
+        z = pos[:, 2]  # frustum mean z (rays march +z from the origin)
+        inside = (z > z_lo) & (z < z_hi)
+        density = jnp.where(inside, sigma, 0.0)[:, None] + 0.0 * params["w"].sum()
+        return jnp.zeros((pos.shape[0], 3)), density
+
+    model = Model("model", {"w": jnp.zeros(1)}, apply)
+    renderer = MipRenderer(
+        model=model, n_samples=8, n_importance=32, perturb=False,
+        blur_idx=0, mip_importance=True,
+    )
+    data = _ray_batch(b=1, r=4, t0=1.0, t1=2.0, n_params=2)
+    out = renderer.apply(renderer.current_params(), data, jax.random.key(0), training=False)
+
+    assert set(out) >= {"color_pred", "alpha_pred", "color_pred_coarse", "alpha_pred_coarse"}
+    for v in out.values():
+        assert np.all(np.isfinite(np.asarray(v)))
+    coarse = np.asarray(out["alpha_pred_coarse"])
+    fine = np.asarray(out["alpha_pred"])
+    # Analytic: alpha = 1 - exp(-sigma * (z_hi - z_lo)) ~= 0.865.
+    assert np.all(coarse < 0.05), coarse
+    assert np.all(fine > 0.5), fine
