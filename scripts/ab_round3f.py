@@ -47,39 +47,45 @@ CARPET_R = ["python", "scripts/bench_render.py", "--chunk", "262144",
 GATES = ["NERFTEX_PACKED_GATHER", "NERFTEX_TOPK_SELECT",
          "NERFTEX_EVENT_CUMSUM", "NERFTEX_SELECT_COEFS"]
 
-# (log, tag, env-overrides, cmd) in run order.
-PHASE_A = [
-    (A_LOG, f"{scene} {var}", env, cmd)
-    for scene, cmd in (("PLUSH", PLUSH), ("GRASS", GRASS), ("CARPET", CARPET))
-    for var, env in (
-        ("base", {"NERFTEX_PACKED_GATHER": "0", "NERFTEX_TOPK_SELECT": "0",
-                  "NERFTEX_EVENT_CUMSUM": "0"}),
-        ("packed", {"NERFTEX_TOPK_SELECT": "0", "NERFTEX_EVENT_CUMSUM": "0"}),
-        ("topk", {"NERFTEX_EVENT_CUMSUM": "0"}),
-        ("cumsum", {}),
-    )
-]
-PHASE_B = [
-    (B_LOG, "PLUSH coefs", {"NERFTEX_SELECT_COEFS": "1"}, PLUSH),
-    (B_LOG, "GRASS coefs", {"NERFTEX_SELECT_COEFS": "1"}, GRASS),
-    (B_LOG, "CARPET coefs", {"NERFTEX_SELECT_COEFS": "1"}, CARPET),
+# (log, tag, env-overrides, cmd).  Run order below is CHEAPEST-AND-MOST-
+# HEADLINE-CRITICAL FIRST (carpet = the driver metric, fast compiles;
+# plush = 12-17 min compiles), so a late service return still lands the
+# numbers that matter most.  Each scene's variant chain stays contiguous
+# for same-session A/B adjacency.
+_VARIANTS = (
+    ("base", {"NERFTEX_PACKED_GATHER": "0", "NERFTEX_TOPK_SELECT": "0",
+              "NERFTEX_EVENT_CUMSUM": "0"}),
+    ("packed", {"NERFTEX_TOPK_SELECT": "0", "NERFTEX_EVENT_CUMSUM": "0"}),
+    ("topk", {"NERFTEX_EVENT_CUMSUM": "0"}),
+    ("cumsum", {}),
+)
+
+
+def _scene_legs(scene, cmd):
+    legs = [(A_LOG, f"{scene} {var}", env, cmd) for var, env in _VARIANTS]
+    legs.append((B_LOG, f"{scene} coefs", {"NERFTEX_SELECT_COEFS": "1"}, cmd))
+    return legs
+
+
+PHASE_A = _scene_legs("CARPET", CARPET) + [
     (B_LOG, "CARPET tri0", {}, CARPET_R),
     (B_LOG, "CARPET tri512", {}, CARPET_R + ["--tri-cull", "512"]),
     (B_LOG, "CARPET tri1024", {}, CARPET_R + ["--tri-cull", "1024"]),
     (B_LOG, "CARPET tri2048", {}, CARPET_R + ["--tri-cull", "2048"]),
     (B_LOG, "CARPET final bench", {}, CARPET),
-]
+] + _scene_legs("GRASS", GRASS) + _scene_legs("PLUSH", PLUSH)
+PHASE_B = []
 PHASE_C = [
     (C_LOG, "trace carpet", {},
      ["python", "scripts/bench_scene.py", "carpet", "--block", "1024",
       "--max-hits", "48", "--step-cap", "320", "--cull", "448",
       "--trace", "/tmp/trace_r3_carpet"]),
-    (C_LOG, "trace grass", {}, GRASS + ["--trace", "/tmp/trace_r3_grass"]),
-    (C_LOG, "trace plush", {}, PLUSH + ["--trace", "/tmp/trace_r3_plush"]),
     (C_LOG, "trace train", {},
      ["python", "scripts/bench_train.py", "--k", "50", "--reps", "2",
       "--dtype", "bfloat16", "--net-chunk", "16384", "--remat",
       "--trace", "/tmp/trace_r3_train"]),
+    (C_LOG, "trace grass", {}, GRASS + ["--trace", "/tmp/trace_r3_grass"]),
+    (C_LOG, "trace plush", {}, PLUSH + ["--trace", "/tmp/trace_r3_plush"]),
 ]
 PHASE_E = [
     (E_LOG, "golden carpet", {},
@@ -146,10 +152,8 @@ def main():
     while phases_running():
         time.sleep(120)
 
-    a_done = succeeded_tags(A_LOG)
-    b_done = succeeded_tags(B_LOG)
-    todo = [t for t in PHASE_A if t[1] not in a_done]
-    todo += [t for t in PHASE_B if t[1] not in b_done]
+    done = {A_LOG: succeeded_tags(A_LOG), B_LOG: succeeded_tags(B_LOG)}
+    todo = [t for t in PHASE_A + PHASE_B if t[1] not in done[t[0]]]
     todo += [t for t in PHASE_C
              if not os.path.exists(f"/tmp/{t[1].replace('trace ', 'trace_r3_')}.txt")]
     todo += [t for t in PHASE_E
