@@ -1,5 +1,5 @@
 """Standalone carpet-render benchmark (north-star workload)."""
-import time, sys, numpy as np, jax
+import time, numpy as np, jax
 from nerftex_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 from nerftex_tpu.utils import util, rng

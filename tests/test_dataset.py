@@ -1,5 +1,4 @@
 import numpy as np
-import pytest
 
 from nerftex_tpu.utils.util import EasyDict
 from nerftex_tpu.utils import rng
@@ -7,7 +6,7 @@ from nerftex_tpu.utils.image import encode_png
 from nerftex_tpu.data import tfrecord as tfr
 from nerftex_tpu.data.dataset import Dataset, look_at_np
 from nerftex_tpu.data.pixel_sampler import Full, Independent, Proxy as ProxyPixels
-from nerftex_tpu.data.ray_sampler import Frustum, Proxy as ProxyRays, rays_from_camera_np
+from nerftex_tpu.data.ray_sampler import Frustum, rays_from_camera_np
 from nerftex_tpu.ops.proxy import AABB
 
 

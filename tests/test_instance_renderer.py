@@ -10,7 +10,6 @@ from nerftex_tpu.utils.util import EasyDict
 from nerftex_tpu.models.mlp import Model
 from nerftex_tpu.render.instance_renderer import InstanceRenderer, MipInstanceRenderer
 from nerftex_tpu.instancing.instancer import Instancer
-from nerftex_tpu.instancing import oracle
 from nerftex_tpu.tools import gen_assets
 
 

@@ -5,7 +5,6 @@ import json
 import os
 
 import numpy as np
-import pytest
 
 from nerftex_tpu.utils import util, rng
 from nerftex_tpu.utils.util import EasyDict

@@ -66,7 +66,6 @@ def test_scene_build_uses_native_consistently(tmp_path):
     numpy fallback."""
     from nerftex_tpu.tools import gen_assets
     from nerftex_tpu.instancing.scene import Scene
-    from nerftex_tpu.instancing import scene as scene_mod
 
     out = str(tmp_path / "meshes")
     gen_assets.generate(out, seed=0)

@@ -1,5 +1,4 @@
 import numpy as np
-import jax.numpy as jnp
 
 from nerftex_tpu.ops.rays import rays_from_camera, look_at
 from nerftex_tpu.ops.proxy import AABB

@@ -1,7 +1,6 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from nerftex_tpu.utils.util import EasyDict
 from nerftex_tpu.utils import util, rng

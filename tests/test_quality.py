@@ -8,7 +8,6 @@ import numpy as np
 import pytest
 
 from nerftex_tpu.utils import util, rng
-from nerftex_tpu.utils.util import EasyDict
 
 
 def test_training_reaches_psnr_floor(tmp_path):

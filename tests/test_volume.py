@@ -1,6 +1,5 @@
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from nerftex_tpu.ops import volume
 
