@@ -114,6 +114,9 @@ def leg(log, tag, env_over, cmd):
     env = dict(os.environ)
     env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
     env.update(env_over)
+    # Plush whole-frame compiles have measured 12-17 min after HLO changes;
+    # give those legs headroom beyond the 25-min backend-init failure mode.
+    leg_timeout = 2400 if "plush" in " ".join(cmd) else 1700
     for attempt in range(1, 7):
         stamp = time.strftime("%H:%M:%S")
         with open(log, "a") as f:
@@ -121,7 +124,7 @@ def leg(log, tag, env_over, cmd):
         try:
             out = subprocess.run(
                 cmd, cwd=REPO, env=env, capture_output=True, text=True,
-                timeout=1700,
+                timeout=leg_timeout,
             )
             rc, text = out.returncode, out.stdout + out.stderr
         except subprocess.TimeoutExpired as e:
