@@ -67,11 +67,11 @@ def _scene_legs(scene, cmd):
     return legs
 
 
+# The CARPET_R tri-cull legs (bench_render at chunk 262144) are gone: that
+# harness runs the compact path whose lane-padded interface arrays OOM the
+# compile at a 262k chunk — scripts/ab_round3g.py sweeps tri-cull on the
+# sorted-grid harness instead (the program bench.py actually times).
 PHASE_A = _scene_legs("CARPET", CARPET) + [
-    (B_LOG, "CARPET tri0", {}, CARPET_R),
-    (B_LOG, "CARPET tri512", {}, CARPET_R + ["--tri-cull", "512"]),
-    (B_LOG, "CARPET tri1024", {}, CARPET_R + ["--tri-cull", "1024"]),
-    (B_LOG, "CARPET tri2048", {}, CARPET_R + ["--tri-cull", "2048"]),
     (B_LOG, "CARPET final bench", {}, CARPET),
 ] + _scene_legs("GRASS", GRASS) + _scene_legs("PLUSH", PLUSH)
 PHASE_B = []
