@@ -47,15 +47,46 @@ _TOPK_SELECT = os.environ.get("NERFTEX_TOPK_SELECT", "1") != "0"
 # NERFTEX_EVENT_CUMSUM=0 falls back to O(K^2) compare-all counting.
 _EVENT_CUMSUM = os.environ.get("NERFTEX_EVENT_CUMSUM", "1") != "0"
 
-# Experimental (default OFF until A/B'd): fold the per-ray anchor-distance
-# coefficients into the interval top-K one-hot select instead of a separate
-# [Rb,K,3] origins gather.  Requires _TOPK_SELECT.
-_SELECT_COEFS = os.environ.get("NERFTEX_SELECT_COEFS", "0") != "0"
+# Fold the per-ray anchor-distance coefficients into the interval top-K
+# one-hot select instead of a separate [Rb,K,3] origins gather.  Requires
+# _TOPK_SELECT.  Default ON since round 4: the round-3 A/B legs measured
+# +3.1% carpet / +9.3% grass / +3.0% plush (docs/PERF.md §2.10,
+# runlogs/round3_salvage/ab_round3b.log) and bit-exactness is test-pinned
+# (tests/test_device_instancer.py::test_select_coefs_bitexact).
+# NERFTEX_SELECT_COEFS=0 is the A/B kill switch.
+_SELECT_COEFS = os.environ.get("NERFTEX_SELECT_COEFS", "1") != "0"
 
 from nerftex_tpu.instancing.scene import Scene
 from nerftex_tpu.ops.volume import mean_distance
 
 T_FAR = 100.0
+
+# Ceiling on the compact path's stacked flat-sample outputs.  The [B,3]
+# pts/dirs (and [B,P] parameters) arrays lane-pad their minor dim to 128 on
+# TPU — a 42x blowup — so a 262,144-ray chunk with budget 160 allocates
+# 262144*160*128*4 B = 21.5 GB for pts alone at compile time (round-3 queue
+# post-mortem, commit 3403a68).  Fail with an actionable message instead.
+_COMPACT_MAX_BYTES = int(
+    float(os.environ.get("NERFTEX_COMPACT_MAX_GB", "8")) * (1 << 30)
+)
+
+
+def _check_compact_capacity(n_rays_padded: int, budget_per_ray: int, n_params: int):
+    """Estimate the lane-padded bytes of the compacted sample tables and
+    refuse to build a program that would OOM at compile."""
+    lane = 128
+    b_total = n_rays_padded * budget_per_ray
+    # pts + dirs ([B,3] -> 128 lanes) + parameters ([B,P] -> ceil to 128).
+    cols = 2 * lane + -(-n_params // lane) * lane
+    est = 4 * b_total * cols
+    if est > _COMPACT_MAX_BYTES:
+        raise ValueError(
+            f"compact-path capacity: {n_rays_padded} rays x budget "
+            f"{budget_per_ray} would lane-pad ~{est / (1 << 30):.1f} GiB of "
+            f"flat sample tables (> {_COMPACT_MAX_BYTES / (1 << 30):.1f} GiB "
+            f"cap). Lower render_chunk or sample_budget_per_ray, or raise "
+            f"NERFTEX_COMPACT_MAX_GB."
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -593,6 +624,7 @@ class DeviceInstancer:
             rays_d = jnp.concatenate([rays_d, jnp.tile(jnp.asarray([[0, 0, 1.0]], jnp.float32), (pad, 1))])
             parameters = jnp.concatenate([parameters, jnp.zeros((pad, p), jnp.float32)])
 
+        _check_compact_capacity(n_pad, int(budget_per_ray), p)
         fn = self._fn_compact(block, int(n_samples), float(step_size), p, int(budget_per_ray))
         out = fn(rays_o, rays_d, parameters, key)
         if n_pad > r:

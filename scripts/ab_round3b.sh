@@ -52,14 +52,11 @@ NERFTEX_SELECT_COEFS=1 leg "PLUSH coefs"  "${PLUSH[@]}"
 NERFTEX_SELECT_COEFS=1 leg "GRASS coefs"  "${GRASS[@]}"
 NERFTEX_SELECT_COEFS=1 leg "CARPET coefs" python bench.py
 
-# 2. Carpet tri-cull sweep (one harness for all legs; bench.py's shapes)
-CARPET_R=(python scripts/bench_render.py --chunk 262144 --block 1024
-          --max-hits 48 --n-samples 1024 --step-cap 320 --dtype bfloat16
-          --cull 448)
-leg "CARPET tri0"    "${CARPET_R[@]}"
-leg "CARPET tri512"  "${CARPET_R[@]}" --tri-cull 512
-leg "CARPET tri1024" "${CARPET_R[@]}" --tri-cull 1024
-leg "CARPET tri2048" "${CARPET_R[@]}" --tri-cull 2048
+# 2. Carpet tri-cull sweep — REMOVED: the chunk-262144 bench_render harness
+# runs the compact path, whose lane-padded interface arrays OOM the compile
+# (21.5 GB, commit 3403a68; now guarded by _check_compact_capacity).
+# scripts/ab_round3g.py sweeps tri-cull on the sorted-grid harness instead
+# (the program bench.py actually times).
 
 # 3. Fresh driver bench datapoint at the end of the queue
 leg "CARPET final bench" python bench.py

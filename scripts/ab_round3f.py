@@ -40,9 +40,6 @@ GRASS = ["python", "scripts/bench_scene.py", "grass", "--step-cap", "1024",
          "--max-hits", "96", "--cull", "512", "--tri-cull", "1024",
          "--shadow-cull", "512", "--shadow-tri-cull", "2048"]
 CARPET = ["python", "bench.py"]
-CARPET_R = ["python", "scripts/bench_render.py", "--chunk", "262144",
-            "--block", "1024", "--max-hits", "48", "--n-samples", "1024",
-            "--step-cap", "320", "--dtype", "bfloat16", "--cull", "448"]
 
 GATES = ["NERFTEX_PACKED_GATHER", "NERFTEX_TOPK_SELECT",
          "NERFTEX_EVENT_CUMSUM", "NERFTEX_SELECT_COEFS"]

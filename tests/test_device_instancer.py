@@ -773,3 +773,24 @@ def test_select_coefs_bitexact(monkeypatch):
         assert sorted(a) == sorted(b)
         for k in sorted(a):
             assert np.array_equal(a[k], b[k], equal_nan=True), f"{name}/{k}"
+
+
+def test_compact_capacity_guard():
+    """An over-budget compact request must fail with an actionable message
+    BEFORE tracing/compiling (the round-3 harness hit a 21.5 GB lane-padded
+    alloc at chunk 262144, commit 3403a68)."""
+    from nerftex_tpu.instancing.device import _check_compact_capacity
+
+    scene = _simple_scene(seed=0)
+    scene.add_instance(np.eye(4, dtype=np.float32))
+    dev = DeviceInstancer(scene, max_hits=4, ray_block=1024)
+    rays_o, rays_d = _down_rays(1024)
+    prm = np.zeros((1024, 0), np.float32)
+    with pytest.raises(ValueError, match="compact-path capacity"):
+        dev.get_model_input_compact(rays_o, rays_d, prm, 64, 0.05, 65536)
+    # The round-3 failure point itself: 262144 rays x budget 160.
+    with pytest.raises(ValueError, match="lane-pad"):
+        _check_compact_capacity(262144, 160, 7)
+    # Shipped-scale requests stay well under the cap.
+    _check_compact_capacity(262144, 16, 7)
+    _check_compact_capacity(4096, 512, 7)

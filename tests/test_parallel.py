@@ -242,6 +242,23 @@ def test_dryrun_multichip_self_provisions_subprocess():
     ge._dryrun_in_cpu_subprocess(4)
 
 
+def test_dryrun_decision_never_touches_a_backend(monkeypatch):
+    """The self-provision decision must come from env vars alone: probing
+    jax.devices() in the parent initializes the axon TPU client, and a busy
+    TPU then stalls the dryrun before any output (MULTICHIP_r03 rc=124)."""
+    import __graft_entry__ as ge
+
+    # conftest pins JAX_PLATFORMS=cpu with 8 virtual devices.
+    assert ge._cpu_mesh_env_ready(8)
+    assert ge._cpu_mesh_env_ready(4)
+    assert not ge._cpu_mesh_env_ready(9)
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    assert not ge._cpu_mesh_env_ready(1)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("XLA_FLAGS", "")
+    assert not ge._cpu_mesh_env_ready(1)
+
+
 def test_fused_dp_step_matches_single_device():
     """Device-resident sampling inside the SHARDED jit (tables replicated,
     sampled batch dp-constrained) must match the single-device fused step."""
