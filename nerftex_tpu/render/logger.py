@@ -24,6 +24,21 @@ from nerftex_tpu.ops.interpolate import filtered_downsample
 from nerftex_tpu.render.checkpoint import CheckpointManager
 
 
+def _match_param_layout(model, saved):
+    """Convert restored params between pytree- and flat-theta layouts
+    (render/train.apply_flat_param_space) so `flat_params` can be toggled
+    across a resume; pass-through when layouts already match."""
+    saved_flat = hasattr(saved, "ndim") and getattr(saved, "ndim", None) == 1
+    model_flat = getattr(model, "_unravel", None) is not None
+    if saved_flat and not model_flat:
+        from jax.flatten_util import ravel_pytree
+
+        return ravel_pytree(model.params)[1](saved)
+    if not saved_flat and model_flat:
+        return model._ravel(saved)
+    return saved
+
+
 class Logger:
     def __init__(
         self,
@@ -106,7 +121,7 @@ class Logger:
             return
         for name, model in self.models.items():
             if name in saved.get("models", {}):
-                model.params = saved["models"][name]
+                model.params = _match_param_layout(model, saved["models"][name])
         if self.state is not None and "extra" in saved:
             for key, value in saved["extra"].items():
                 setattr(self.state, key, value)

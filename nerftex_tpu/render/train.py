@@ -25,6 +25,50 @@ class TrainState:
         self.step = 0
 
 
+def apply_flat_param_space(models) -> dict:
+    """Re-express each model's parameters as ONE flat f32 vector.
+
+    TPU perf knob (docs/PERF.md §1.4): the per-leaf parameter pytree makes
+    the train step's gradient accumulation (one accumulate per leaf per
+    net_chunk — 384 small ops/step at 16k chunks) and the Adam update (one
+    fusion per [256,256] matrix) latency-bound on tiny-op dispatch.  With a
+    single [n_params] theta per model, chunked gradient accumulation is one
+    wide add and Adam is one fused elementwise chain.  The unravel
+    (static slices + reshapes of the flat buffer — bitcasts under XLA) runs
+    inside the chunk body, so `jax.checkpoint` recomputes views, not copies.
+
+    Mutates each Model in place: `params` becomes the flat vector, `apply`
+    accepts it, and `_unravel` / `_ravel` convert to/from the original
+    pytree (used by checkpoint restore and tests).  Elementwise-identical to
+    the pytree step: Adam has no cross-parameter coupling, and the matmuls
+    consume bit-equal reshaped views.  Note: megatron-style width sharding
+    (parallel/mesh.model_shardings) needs the pytree layout — a flat theta
+    falls through to full replication, which is the right call anyway for
+    this ~600k-param model; dp is unaffected.
+
+    Returns {model_name: unravel_fn}.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    unravels = {}
+    for name, model in models.items():
+        if getattr(model, "_unravel", None) is not None:
+            unravels[name] = model._unravel
+            continue
+        theta, unravel = ravel_pytree(model.params)
+        orig_apply = model.apply
+
+        def flat_apply(th, pos, dirs, prms, _apply=orig_apply, _un=unravel):
+            return _apply(_un(th), pos, dirs, prms)
+
+        model.params = theta
+        model.apply = flat_apply
+        model._unravel = unravel
+        model._ravel = lambda pytree, _un=unravel: ravel_pytree(pytree)[0]
+        unravels[name] = unravel
+    return unravels
+
+
 def make_optimizer(lrate: float, lrate_decay: float):
     if lrate_decay > 0:
         schedule = optax.exponential_decay(
@@ -132,6 +176,45 @@ def make_fused_multi_step(
     return jax.jit(chunk_fn, donate_argnums=(0, 1, 6) if donate else ())
 
 
+def _align_opt_state_layout(opt_state, models):
+    """Convert a restored optimizer state between pytree- and flat-parameter
+    layouts (apply_flat_param_space) so `flat_params` can be toggled across
+    a resume.  Only Adam moment trees carry parameter layout; counts and
+    schedule states pass through."""
+    import optax
+    from jax.flatten_util import ravel_pytree
+
+    def remap_tree(t):
+        out = {}
+        for name, model in models.items():
+            sub = t[name]
+            is_flat = hasattr(sub, "ndim") and getattr(sub, "ndim", None) == 1
+            want_flat = getattr(model, "_unravel", None) is not None
+            if is_flat and not want_flat:
+                # Build the unravel from the model's own (pytree) structure.
+                out[name] = ravel_pytree(model.params)[1](sub)
+            elif not is_flat and want_flat:
+                out[name] = ravel_pytree(sub)[0]
+            else:
+                out[name] = sub
+        return out
+
+    def walk(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(
+                node.count, remap_tree(node.mu), remap_tree(node.nu)
+            )
+        if isinstance(node, tuple):
+            # NamedTuple states rebuild by fields; plain tuples (optax
+            # chains) by iterable.
+            if hasattr(node, "_fields"):
+                return type(node)(*(walk(c) for c in node))
+            return tuple(walk(c) for c in node)
+        return node
+
+    return walk(opt_state)
+
+
 def Train(
     target_path: str,
     train_dataset_config: EasyDict,
@@ -144,6 +227,7 @@ def Train(
     renderer_config: EasyDict,
     logger_config: EasyDict,
     steps_per_dispatch: int = 1,
+    flat_params: bool = False,
     **kwargs,
 ) -> None:
     """Set up and run supervised training (train.py:7-70)."""
@@ -161,6 +245,12 @@ def Train(
 
     for model in models.values():
         model.summary()
+
+    if flat_params:
+        # Perf knob (docs/PERF.md §1.4): single flat theta per model.
+        # Checkpoints save/restore whatever layout the model uses; restores
+        # across a layout switch are converted in _restore/_align below.
+        apply_flat_param_space(models)
 
     renderer_config = EasyDict(renderer_config)
     renderer_config.update(models)
@@ -188,6 +278,8 @@ def Train(
     params = {name: model.params for name, model in models.items()}
     if state.opt_state is None:
         state.opt_state = optimizer.init(params)
+    else:
+        state.opt_state = _align_opt_state_layout(state.opt_state, models)
     opt_state = state.opt_state
 
     n_remaining = int(n_iters) - logger.step

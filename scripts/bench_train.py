@@ -36,6 +36,12 @@ def main():
         help="jax.checkpoint the net_chunk bodies (recompute instead of "
              "stacking activations, docs/PERF.md §1)",
     )
+    ap.add_argument(
+        "--flat-params", action="store_true",
+        help="single flat theta per model: one wide grad accumulate + one "
+             "fused Adam chain instead of per-leaf small ops (docs/PERF.md "
+             "§1.4)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -72,6 +78,11 @@ def main():
         "alpha_loss_fn": "network.loss.mse",
     }))
     optimizer = optax.adam(5e-4, b1=0.9, b2=0.999, eps=1e-7)
+
+    if args.flat_params:
+        from nerftex_tpu.render.train import apply_flat_param_space
+
+        apply_flat_param_space(models)
 
     # Synthetic batch with the training shapes (4 imgs x 256 rays).
     rs = np.random.RandomState(0)
