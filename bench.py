@@ -96,6 +96,9 @@ def main():
         render_chunk=262144, ray_block=1024, max_hits=48, budget=0,
         n_samples=1024, step_cap=320, compute_dtype="bfloat16", net_chunk=32768,
         cull_budget=448,
+        # Round-4 sweep winner (+11.4% over no tri-cull, exact by branching,
+        # same golden — runlogs/round4/queue.log tri512 vs tri0; PERF §2.12).
+        tri_cull_budget=int(os.environ.get("NERFTEX_BENCH_TRI_CULL", "512")),
     )
     data = {k: jax.device_put(v) for k, v in ray_data(512, 512).items()}
     jax.block_until_ready(list(data.values()))
