@@ -56,6 +56,14 @@ _EVENT_CUMSUM = os.environ.get("NERFTEX_EVENT_CUMSUM", "1") != "0"
 # NERFTEX_SELECT_COEFS=0 is the A/B kill switch.
 _SELECT_COEFS = os.environ.get("NERFTEX_SELECT_COEFS", "1") != "0"
 
+# Pack the occupancy sort's per-table row permutes into one gather per dtype
+# group (docs/PERF.md §2.13).  TPU row gathers cost per-row overhead, not
+# bytes — a [R,3] permute times like [R,96] because the minor dim pads to a
+# full lane tile — so the sorted path's ~20 separate table permutes were
+# ~13% of the round-4 carpet frame (runlogs/round4/trace_carpet.txt).
+# NERFTEX_PACKED_PERMUTE=0 falls back to one gather per table.
+_PACKED_PERMUTE = os.environ.get("NERFTEX_PACKED_PERMUTE", "1") != "0"
+
 from nerftex_tpu.instancing.scene import Scene
 from nerftex_tpu.ops.volume import mean_distance
 
@@ -87,6 +95,64 @@ def _check_compact_capacity(n_rays_padded: int, budget_per_ray: int, n_params: i
             f"cap). Lower render_chunk or sample_budget_per_ray, or raise "
             f"NERFTEX_COMPACT_MAX_GB."
         )
+
+
+# Dtypes that pack exactly into a widened float32 / int32 column group: the
+# widen-then-narrow round trip is value-preserving for every entry below.
+_PACK_F = (jnp.float32, jnp.bfloat16, jnp.float16)
+_PACK_I = (jnp.int32, jnp.bool_, jnp.int16, jnp.uint16, jnp.int8, jnp.uint8)
+
+
+def _permute_rows_packed(order, leaves):
+    """Reorder each [R, ...] array in `leaves` along axis 0 by `order`, using
+    ONE row gather per dtype group instead of one gather per array.
+
+    XLA row gathers on TPU cost per-row overhead rather than bytes: a [R,3]
+    permute times the same as [R,96] (the minor dim pads to a full 128-lane
+    tile), so the occupancy sort's per-table permutes — ~20 of them, five
+    3-wide — added up to ~13% of the round-4 carpet frame
+    (runlogs/round4/trace_carpet.txt, docs/PERF.md §2.13).  Packing float
+    leaves into one [R, W_f] plane and integer/bool leaves into one [R, W_i]
+    plane turns the whole permute into two gathers.
+
+    Bit-exact: a gather is pure data movement; leaves are grouped BY KIND
+    (floats widened to f32, ints/bools widened to i32 — both exact round
+    trips) so no value ever crosses a float<->int representation boundary.
+    Leaves of any other dtype fall back to a direct per-array gather.
+    """
+    out = [None] * len(leaves)
+    groups = {"f": [], "i": []}
+    for i, v in enumerate(leaves):
+        if v.dtype in _PACK_F:
+            groups["f"].append(i)
+        elif v.dtype in _PACK_I:
+            groups["i"].append(i)
+        else:
+            out[i] = v[order]
+    n_rows = order.shape[0]
+    for kind, idxs in groups.items():
+        if not idxs:
+            continue
+        cast = jnp.float32 if kind == "f" else jnp.int32
+        if len(idxs) == 1:
+            i = idxs[0]
+            out[i] = leaves[i][order]
+            continue
+        cols, widths = [], []
+        for i in idxs:
+            flat = leaves[i].reshape(n_rows, -1)
+            widths.append(flat.shape[1])
+            cols.append(flat if flat.dtype == cast else flat.astype(cast))
+        packed = jnp.concatenate(cols, axis=1)[order]
+        off = 0
+        for i, w in zip(idxs, widths):
+            v = leaves[i]
+            sl = jax.lax.slice_in_dim(packed, off, off + w, axis=1)
+            out[i] = (sl if v.dtype == cast else sl.astype(v.dtype)).reshape(
+                (n_rows,) + v.shape[1:]
+            )
+            off += w
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -847,12 +913,20 @@ class DeviceInstancer:
         order = jnp.argsort(-n_steps, stable=True)
         inv_order = jnp.argsort(order, stable=True)
 
-        def permute(v):
-            return None if v is None else v[order]
-
-        tables_s = {k: permute(v) for k, v in tables.items()}
-        rays_o_s, rays_d_s, parameters_s = rays_o[order], rays_d[order], parameters[order]
-        extra_s = tuple(e[order] for e in extra)
+        # Every per-ray array rides the SAME row permute, so pack them all
+        # into one gather per dtype group (docs/PERF.md §2.13) instead of
+        # one gather per table.
+        t_keys = [k for k, v in tables.items() if v is not None]
+        row_leaves = [tables[k] for k in t_keys]
+        row_leaves += [rays_o, rays_d, parameters, *extra]
+        if _PACKED_PERMUTE:
+            permuted = _permute_rows_packed(order, row_leaves)
+        else:
+            permuted = [v[order] for v in row_leaves]
+        tables_s = {k: None for k in tables}
+        tables_s.update(zip(t_keys, permuted))
+        rays_o_s, rays_d_s, parameters_s = permuted[len(t_keys):len(t_keys) + 3]
+        extra_s = tuple(permuted[len(t_keys) + 3:])
 
         # 3. bucket capacities: ~eighths of the cap plus a stub for empty
         # blocks; each sorted block takes the smallest bucket covering its
@@ -864,7 +938,9 @@ class DeviceInstancer:
             {min(cap, 8), *(max(1, (cap * q) // 8) for q in range(1, 9)), cap}
         )
         bucket_arr = jnp.asarray(buckets, jnp.int32)
-        block_max = n_steps[order][:: block][:n_blocks]
+        # tables_s["n_steps"] IS n_steps[order] — reuse it rather than
+        # issuing another (narrow) row gather.
+        block_max = tables_s["n_steps"][::block][:n_blocks]
         s_idx = jnp.searchsorted(bucket_arr, block_max, side="left").astype(jnp.int32)
 
         # Hit-capacity buckets: the same trick along the K axis.  All
@@ -948,12 +1024,16 @@ class DeviceInstancer:
             ),
         )
 
-        # 4. un-permute to original ray order, drop padding.
-        def restore(v):
-            flat = v.reshape((n_pad,) + v.shape[2:])
-            return flat[inv_order][:r]
-
-        outs = jax.tree.map(restore, outs)
+        # 4. un-permute to original ray order, drop padding (same packed
+        # single-gather trick as the forward permute — color/alpha are 3- and
+        # 1-wide, exactly the shapes that pay full lane-tile padding).
+        flat_outs, outs_def = jax.tree.flatten(outs)
+        flat_outs = [v.reshape((n_pad,) + v.shape[2:]) for v in flat_outs]
+        if _PACKED_PERMUTE:
+            flat_outs = _permute_rows_packed(inv_order, flat_outs)
+        else:
+            flat_outs = [v[inv_order] for v in flat_outs]
+        outs = jax.tree.unflatten(outs_def, [v[:r] for v in flat_outs])
         aux = {
             "hit": hit[:r],
             "overflow_hits": overflow_hits,

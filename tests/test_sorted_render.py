@@ -196,6 +196,32 @@ def test_sorted_all_knobs_matches_dense(assets):
     assert alpha_r.max() > 0.3  # the scene actually rendered
 
 
+def test_packed_permute_bitexact(monkeypatch):
+    """The dtype-grouped packed occupancy permute (NERFTEX_PACKED_PERMUTE=1,
+    device.py _permute_rows_packed) must be bit-identical to the per-table
+    gathers — on a shadowed scene so every table kind rides the permute
+    (f32 K-tables, s32 n_steps, bool tiny/hit/kvalid/shadow_blocked,
+    [R,1,3] color_last) plus the packed un-permute of the outputs."""
+    import jax
+
+    from nerftex_tpu.instancing import device as device_mod
+
+    data = _ray_batch()
+    data["parameters"] = np.array([[1, 1, 1, 0.1, 0, 0, -1.0]], np.float32)
+    outs = {}
+    for flag in (True, False):
+        monkeypatch.setattr(device_mod, "_PACKED_PERMUTE", flag)
+        r = _three_box_renderer(
+            True, textures=("", "", "", "", "light"), cast_shadow_rays=True
+        )
+        out = r(**data, training=False, key=jax.random.key(7))
+        outs[flag] = {k: np.asarray(v) for k, v in out.items()}
+    assert sorted(outs[True]) == sorted(outs[False])
+    for k in sorted(outs[True]):
+        assert np.array_equal(outs[True][k], outs[False][k], equal_nan=True), k
+    assert outs[True]["alpha_pred"].max() > 0.3
+
+
 def test_sorted_hit_bucketing_matches_dense():
     """K >= 64 activates hit-capacity buckets (device.py render_grid_sorted:
     per-block slicing of the K-width tables to the smallest covering tier);
