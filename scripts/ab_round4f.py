@@ -1,0 +1,36 @@
+"""Round-4 phase F: on-chip microbench of the per-sample select machinery.
+
+The plush trace puts the segment-count/select fusions ~30-60x off VPU
+roofline per execution (runlogs/round4/trace_plush.txt, occurrence-counted).
+scripts/micro_select.py times re-formulations at plush block dims; this
+phase runs it on the real chip at the three relevant tiers.  Waits for the
+round4e queue (and everything upstream of it).
+
+Run via:  cd /root/repo && setsid nohup python -u scripts/ab_round4f.py \
+              > runlogs/round4f/nohup.out 2>&1 &
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from ab_round4b import other_queue_running  # noqa: E402
+from queue_runner import Queue  # noqa: E402
+
+
+def main():
+    while any(other_queue_running(q) for q in
+              ("round4", "round4b", "round4c", "round4e")):
+        time.sleep(120)
+
+    q = Queue("round4f", deadline_min=int(os.environ.get("Q_DEADLINE_MIN", "90")))
+    base = ["python", "scripts/micro_select.py", "--reps", "20"]
+    q.leg("micro plush S320", {}, base + ["--s", "320", "--k", "128"])
+    q.leg("micro plush S1280", {}, base + ["--s", "1280", "--k", "128"])
+    q.leg("micro grass S256", {}, base + ["--s", "256", "--k", "96"])
+    q.done()
+
+
+if __name__ == "__main__":
+    main()
