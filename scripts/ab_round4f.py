@@ -16,10 +16,24 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ab_round4b import other_queue_running  # noqa: E402
-from queue_runner import Queue  # noqa: E402
+from queue_runner import RUNLOGS, Queue  # noqa: E402
+
+
+def queue_finished(name):
+    """True once a queue's log carries its terminal marker.  Unlike the
+    pidfile check, this cannot race with a chained queue that has not
+    CREATED its pidfile yet (two queues on the TPU at once was the round-3
+    failure mode)."""
+    try:
+        log = open(os.path.join(RUNLOGS, name, "queue.log")).read()
+    except OSError:
+        return False
+    return f"## QUEUE {name} DONE" in log or f"## QUEUE {name} ABORT" in log
 
 
 def main():
+    while not queue_finished("round4e"):
+        time.sleep(120)
     while any(other_queue_running(q) for q in
               ("round4", "round4b", "round4c", "round4e")):
         time.sleep(120)
