@@ -22,14 +22,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ab_round4 import CARPET_S, GRASS, PLUSH  # noqa: E402
 from ab_round4b import other_queue_running  # noqa: E402
+from ab_round4f import queue_finished  # noqa: E402
 from queue_runner import Queue  # noqa: E402
 
 CARPET = CARPET_S + ["--tri-cull", "512"]  # the adopted round-4 tier
 
 
 def main():
+    while not queue_finished("round4f"):
+        time.sleep(120)
     while (other_queue_running("round4") or other_queue_running("round4b")
-           or other_queue_running("round4c")):
+           or other_queue_running("round4c") or other_queue_running("round4f")):
         time.sleep(120)
 
     q = Queue("round4e", deadline_min=int(os.environ.get("Q_DEADLINE_MIN", "150")))

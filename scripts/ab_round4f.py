@@ -3,8 +3,9 @@
 The plush trace puts the segment-count/select fusions ~30-60x off VPU
 roofline per execution (runlogs/round4/trace_plush.txt, occurrence-counted).
 scripts/micro_select.py times re-formulations at plush block dims; this
-phase runs it on the real chip at the three relevant tiers.  Waits for the
-round4e queue (and everything upstream of it).
+phase runs it on the real chip at the three relevant tiers.  Runs after the
+round4c queue (rechained ahead of round4e: the micro data gates the
+S-minor integration work, the packed-permute A/B does not).
 
 Run via:  cd /root/repo && setsid nohup python -u scripts/ab_round4f.py \
               > runlogs/round4f/nohup.out 2>&1 &
@@ -32,10 +33,10 @@ def queue_finished(name):
 
 
 def main():
-    while not queue_finished("round4e"):
+    while not queue_finished("round4c"):
         time.sleep(120)
     while any(other_queue_running(q) for q in
-              ("round4", "round4b", "round4c", "round4e")):
+              ("round4", "round4b", "round4c")):
         time.sleep(120)
 
     q = Queue("round4f", deadline_min=int(os.environ.get("Q_DEADLINE_MIN", "90")))

@@ -30,7 +30,7 @@ def swap_tri(cmd, budget):
 
 
 def main():
-    while not (queue_finished("round4e") and queue_finished("round4f")):
+    while not queue_finished("round4e"):
         time.sleep(120)
     while any(other_queue_running(q) for q in
               ("round4", "round4b", "round4c", "round4e", "round4f")):
