@@ -64,6 +64,22 @@ _SELECT_COEFS = os.environ.get("NERFTEX_SELECT_COEFS", "1") != "0"
 # NERFTEX_PACKED_PERMUTE=0 falls back to one gather per table.
 _PACKED_PERMUTE = os.environ.get("NERFTEX_PACKED_PERMUTE", "1") != "0"
 
+# Segment lookup as a running select over the ascending event list instead
+# of the one-hot [.., S, 2K] count+pick: cum_incl is sorted per row, so a
+# fori over the 2K events that overwrites the accumulator whenever
+# cum_incl[k] <= s_arc leaves exactly corr[clip(count, 0, 2K-1)].  Measured
+# 2.3x the one-hot form in isolation at plush dims (micro_select "pick",
+# runlogs/round4f/queue.log).  Results can differ by 1 ulp of s_arc from the
+# one-hot form ONLY through XLA's per-graph fma choice on i*step + t_off,
+# not through the select itself.  NERFTEX_RUNSEL_WALK=1 enables.
+_RUNSEL_WALK = os.environ.get("NERFTEX_RUNSEL_WALK", "0") == "1"
+
+# One-hot table selection emitted as D separate [.., S] channel reductions
+# instead of one [.., S, K, D] virtual 4-D reduce: measured 3.1x in
+# isolation at plush dims (micro_select "vals", runlogs/round4f/queue.log).
+# Per-element arithmetic identical -> bit-exact.  NERFTEX_DMAJOR_SELECT=1.
+_DMAJOR_SELECT = os.environ.get("NERFTEX_DMAJOR_SELECT", "0") == "1"
+
 from nerftex_tpu.instancing.scene import Scene
 from nerftex_tpu.ops.volume import mean_distance
 
@@ -389,7 +405,20 @@ def _onehot_pick(oh, vals):
     fused compare/select/reduce instead of a scattered gather — on TPU the
     per-sample take_along_axis/gather runs ~µs/row while this streams at
     VPU rate.  Summing exactly one nonzero f32 term is bit-exact (x + 0 == x
-    in IEEE), so results match the gather form exactly."""
+    in IEEE), so results match the gather form exactly.
+
+    With _DMAJOR_SELECT the same reduction is emitted as D separate [R,S]
+    channel planes instead of one [R,S,K,D] virtual 4-D reduce — identical
+    per-element arithmetic (bit-exact), measured 3.1x faster in isolation at
+    plush dims (runlogs/round4f/queue.log)."""
+    if _DMAJOR_SELECT:
+        return jnp.stack(
+            [
+                jnp.sum(jnp.where(oh, vals[:, None, :, d], 0), axis=-1)
+                for d in range(vals.shape[-1])
+            ],
+            -1,
+        )
     return jnp.sum(jnp.where(oh[..., None], vals[:, None, :, :], 0), axis=2)
 
 
@@ -398,6 +427,34 @@ def _onehot_pick1(oh, vals):
     if vals.ndim == oh.ndim:
         return jnp.sum(jnp.where(oh, vals, 0), axis=-1)
     return jnp.sum(jnp.where(oh, vals[:, None, :], 0), axis=-1)
+
+
+def _running_select(events, queries, val_tables):
+    """vals[clip(count, 0, E-1)] for each query, by a running select.
+
+    events [R,E] ascending per row; queries [R,Q]; each v in val_tables is
+    [R,E].  Returns tuple of [R,Q] with v[r, clip(#(events[r] <= q), 0, E-1)]
+    — the one-hot count+pick semantics of the segment walk, computed as a
+    fori over the E events that overwrites the accumulator wherever
+    events[k] <= q (sortedness makes the last overwrite the count'th entry;
+    k = E-1 writes index min(E, E-1) = the upper clip; no event <= q leaves
+    the init v[:, 0] = the lower bound).  Exact select, no arithmetic.
+    Measured 2.3x the one-hot form at plush dims (micro_select "pick",
+    runlogs/round4f/queue.log; docs/PERF.md §2.15)."""
+    r, q = queries.shape
+    e = events.shape[-1]
+
+    def body(k, accs):
+        ev_k = jax.lax.dynamic_slice_in_dim(events, k, 1, 1)         # [R,1]
+        sel = ev_k <= queries                                        # [R,Q]
+        nxt = jnp.minimum(k + 1, e - 1)
+        return tuple(
+            jnp.where(sel, jax.lax.dynamic_slice_in_dim(v, nxt, 1, 1), acc)
+            for v, acc in zip(val_tables, accs)
+        )
+
+    init = tuple(jnp.broadcast_to(v[:, 0:1], (r, q)) for v in val_tables)
+    return jax.lax.fori_loop(0, e, body, init)
 
 
 def _moller_trumbore(o, d, v0, e1, e2, t_max=T_FAR):
@@ -1124,10 +1181,15 @@ class DeviceInstancer:
         i_grid = jnp.arange(S, dtype=jnp.float32)[None, :]
         s_arc = i_grid * step + ray["t_offset"][:, None]             # [Rb,S]
 
-        j = jnp.sum(ray["cum_incl"][:, None, :] <= s_arc[..., None], axis=-1)
-        j = jnp.clip(j, 0, 2 * K - 1)
-        oh_j = j[..., None] == jnp.arange(2 * K)[None, None, :]
-        t_mu = s_arc + _onehot_pick1(oh_j, ray["arc_corr"])
+        if _RUNSEL_WALK:
+            t_mu = s_arc + _running_select(
+                ray["cum_incl"], s_arc, (ray["arc_corr"],)
+            )[0]
+        else:
+            j = jnp.sum(ray["cum_incl"][:, None, :] <= s_arc[..., None], axis=-1)
+            j = jnp.clip(j, 0, 2 * K - 1)
+            oh_j = j[..., None] == jnp.arange(2 * K)[None, None, :]
+            t_mu = s_arc + _onehot_pick1(oh_j, ray["arc_corr"])
         t_pt = mean_distance(t_mu, step) if ds.use_mean_distance else t_mu
 
         pts_w = rays_o[:, None, :] + rays_d[:, None, :] * t_pt[..., None]  # [Rb,S,3]
@@ -2003,14 +2065,18 @@ class DeviceInstancer:
         Ssh = self.shadow_samples
         frac = (jnp.arange(Ssh) + 0.5) / Ssh
         s_sh = frac[None, :] * total[:, None]                        # [Rb,Ssh]
-        j = jnp.sum(cum_incl[:, None, :] <= s_sh[:, :, None], axis=-1)
-        j = jnp.clip(j, 0, times_s.shape[-1] - 1)
-        # One-hot select instead of take_along_axis (the row-internal gather
-        # cost ~170 ms/frame on the grass bench — same anti-pattern the
-        # per-sample stage avoids).
-        oh_j = j[..., None] == jnp.arange(times_s.shape[-1])[None, None, :]
-        picked = _onehot_pick(oh_j, jnp.stack([times_s, cum_excl], -1))
-        t_sh = picked[..., 0] + (s_sh - picked[..., 1])
+        if _RUNSEL_WALK:
+            t_pick, c_pick = _running_select(cum_incl, s_sh, (times_s, cum_excl))
+            t_sh = t_pick + (s_sh - c_pick)
+        else:
+            j = jnp.sum(cum_incl[:, None, :] <= s_sh[:, :, None], axis=-1)
+            j = jnp.clip(j, 0, times_s.shape[-1] - 1)
+            # One-hot select instead of take_along_axis (the row-internal
+            # gather cost ~170 ms/frame on the grass bench — same
+            # anti-pattern the per-sample stage avoids).
+            oh_j = j[..., None] == jnp.arange(times_s.shape[-1])[None, None, :]
+            picked = _onehot_pick(oh_j, jnp.stack([times_s, cum_excl], -1))
+            t_sh = picked[..., 0] + (s_sh - picked[..., 1])
         pts_sh = rays_o[:, None, :] + rays_d[:, None, :] * t_sh[..., None]
         valid = (total > 0) & jnp.isfinite(times_s[:, 0])
         return self._occlusion_branched(

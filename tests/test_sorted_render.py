@@ -222,6 +222,81 @@ def test_packed_permute_bitexact(monkeypatch):
     assert outs[True]["alpha_pred"].max() > 0.3
 
 
+def test_dmajor_select_bitexact(monkeypatch):
+    """_onehot_pick's per-channel-plane emission (NERFTEX_DMAJOR_SELECT=1)
+    is the same per-element where/sum arithmetic as the 4-D reduce — must be
+    bit-identical on a shadowed scene (both call sites: the [Rb,S,D]
+    hit-table select and the sparse-shadow [Rb,Ssh,2] pick)."""
+    import jax
+
+    from nerftex_tpu.instancing import device as device_mod
+
+    data = _ray_batch()
+    data["parameters"] = np.array([[1, 1, 1, 0.1, 0, 0, -1.0]], np.float32)
+    outs = {}
+    for flag in (True, False):
+        monkeypatch.setattr(device_mod, "_DMAJOR_SELECT", flag)
+        r = _three_box_renderer(
+            True, textures=("", "", "", "", "light"), cast_shadow_rays=True
+        )
+        out = r(**data, training=False, key=jax.random.key(7))
+        outs[flag] = {k: np.asarray(v) for k, v in out.items()}
+    for k in sorted(outs[True]):
+        assert np.array_equal(outs[True][k], outs[False][k], equal_nan=True), k
+    assert outs[True]["alpha_pred"].max() > 0.3
+
+
+def test_runsel_walk_matches_onehot(monkeypatch):
+    """The running-select segment walk (NERFTEX_RUNSEL_WALK=1) computes
+    vals[clip(count, 0, 2K-1)] by construction — the select itself is exact,
+    but XLA may contract i*step + t_off into an fma differently across the
+    two graphs, shifting s_arc (and thus t_mu) by 1 ulp, so the frame is
+    compared at epsilon tolerance rather than bitwise."""
+    import jax
+
+    from nerftex_tpu.instancing import device as device_mod
+
+    data = _ray_batch()
+    data["parameters"] = np.array([[1, 1, 1, 0.1, 0, 0, -1.0]], np.float32)
+    outs = {}
+    for flag in (True, False):
+        monkeypatch.setattr(device_mod, "_RUNSEL_WALK", flag)
+        r = _three_box_renderer(
+            True, textures=("", "", "", "", "light"), cast_shadow_rays=True
+        )
+        out = r(**data, training=False, key=jax.random.key(7))
+        outs[flag] = {k: np.asarray(v) for k, v in out.items()}
+    for k in sorted(outs[True]):
+        np.testing.assert_allclose(
+            outs[True][k], outs[False][k], atol=2e-6, err_msg=k
+        )
+    assert outs[True]["alpha_pred"].max() > 0.3
+
+
+def test_running_select_unit():
+    """_running_select against the one-hot count+pick reference on dense
+    random event tables, including out-of-range queries (below the first
+    event -> index 0 via init; above the last -> clipped to E-1)."""
+    import jax.numpy as jnp
+
+    from nerftex_tpu.instancing.device import _running_select
+
+    rs = np.random.RandomState(3)
+    R, E, Q = 16, 12, 25
+    events = np.sort(rs.rand(R, E).astype(np.float32) * 2.0, axis=1)
+    queries = (rs.rand(R, Q).astype(np.float32) * 3.0) - 0.5
+    v0 = rs.randn(R, E).astype(np.float32)
+    v1 = rs.randn(R, E).astype(np.float32)
+
+    got0, got1 = _running_select(jnp.asarray(events), jnp.asarray(queries),
+                                 (jnp.asarray(v0), jnp.asarray(v1)))
+    j = np.clip((events[:, None, :] <= queries[:, :, None]).sum(-1), 0, E - 1)
+    want0 = np.take_along_axis(v0, j, axis=1)
+    want1 = np.take_along_axis(v1, j, axis=1)
+    assert np.array_equal(np.asarray(got0), want0)
+    assert np.array_equal(np.asarray(got1), want1)
+
+
 def test_sorted_hit_bucketing_matches_dense():
     """K >= 64 activates hit-capacity buckets (device.py render_grid_sorted:
     per-block slicing of the K-width tables to the smallest covering tier);
