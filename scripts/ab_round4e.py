@@ -29,10 +29,11 @@ CARPET = CARPET_S + ["--tri-cull", "512"]  # the adopted round-4 tier
 
 
 def main():
-    while not queue_finished("round4f"):
+    while not queue_finished("round4f2"):
         time.sleep(120)
     while (other_queue_running("round4") or other_queue_running("round4b")
-           or other_queue_running("round4c") or other_queue_running("round4f")):
+           or other_queue_running("round4c") or other_queue_running("round4f")
+           or other_queue_running("round4f2")):
         time.sleep(120)
 
     q = Queue("round4e", deadline_min=int(os.environ.get("Q_DEADLINE_MIN", "150")))

@@ -89,6 +89,8 @@ def main():
     ap.add_argument("--s", type=int, default=320)
     ap.add_argument("--k", type=int, default=128)
     ap.add_argument("--d", type=int, default=23)
+    ap.add_argument("--groups", default="123",
+                    help="which benchmark groups to run, e.g. 124")
     args = ap.parse_args()
 
     global jax
@@ -140,12 +142,13 @@ def main():
 
         return jax.lax.fori_loop(0, K2, body, jnp.zeros((Rb, S), jnp.int32))
 
-    print("-- segment count --")
-    base, _ = bench("count base (K-minor)", count_base, (cum, t_off), args.reps)
-    v, _ = bench("count S-minor", count_sminor, (cum, t_off), args.reps)
-    check_equal("count S-minor", base, v)
-    v, _ = bench("count fori-loop", count_loop, (cum, t_off), args.reps)
-    check_equal("count fori", base, v)
+    if "1" in args.groups:
+        print("-- segment count --")
+        base, _ = bench("count base (K-minor)", count_base, (cum, t_off), args.reps)
+        v, _ = bench("count S-minor", count_sminor, (cum, t_off), args.reps)
+        check_equal("count S-minor", base, v)
+        v, _ = bench("count fori-loop", count_loop, (cum, t_off), args.reps)
+        check_equal("count fori", base, v)
 
     # ---- group 2: corr pick t_mu = s_arc + corr[j] ----------------------
     def pick_base(cum, corr, t_off):
@@ -176,12 +179,13 @@ def main():
         init = jnp.broadcast_to(corr[:, 0:1], (Rb, S))
         return s_arc + jax.lax.fori_loop(0, K2, body, init)
 
-    print("-- corr pick --")
-    base, _ = bench("pick base (K-minor)", pick_base, (cum, corr, t_off), args.reps)
-    v, _ = bench("pick S-minor", pick_sminor, (cum, corr, t_off), args.reps)
-    check_equal("pick S-minor", base, v)
-    v, _ = bench("pick running-select", pick_runsel, (cum, corr, t_off), args.reps)
-    check_equal("pick running-select", base, v)
+    if "2" in args.groups:
+        print("-- corr pick --")
+        base, _ = bench("pick base (K-minor)", pick_base, (cum, corr, t_off), args.reps)
+        v, _ = bench("pick S-minor", pick_sminor, (cum, corr, t_off), args.reps)
+        check_equal("pick S-minor", base, v)
+        v, _ = bench("pick running-select", pick_runsel, (cum, corr, t_off), args.reps)
+        check_equal("pick running-select", base, v)
 
     # ---- group 3: hit-table select vals = table[sel_k] ------------------
     def vals_base(table, sel_k):
@@ -205,12 +209,80 @@ def main():
         ]
         return jnp.stack(outs, -1)
 
-    print("-- hit-table select --")
-    base, _ = bench("vals base [Rb,S,K,D]", vals_base, (table, sel_k), args.reps)
-    v, _ = bench("vals S-minor [Rb,K,S,D]", vals_sminor, (table, sel_k), args.reps)
-    check_equal("vals S-minor", base, v)
-    v, _ = bench("vals per-channel planes", vals_dmajor, (table, sel_k), args.reps)
-    check_equal("vals per-channel", base, v)
+    if "3" in args.groups:
+        print("-- hit-table select --")
+        base, _ = bench("vals base [Rb,S,K,D]", vals_base, (table, sel_k), args.reps)
+        v, _ = bench("vals S-minor [Rb,K,S,D]", vals_sminor, (table, sel_k), args.reps)
+        check_equal("vals S-minor", base, v)
+        v, _ = bench("vals per-channel planes", vals_dmajor, (table, sel_k), args.reps)
+        check_equal("vals per-channel", base, v)
+
+    # ---- group 4: overlap resolution (active set -> sel_k, weight) ------
+    # Mirrors _per_sample_grid's nearest_blend chain: the [Rb,S,K] active /
+    # distance / blend-cumsum machinery that lives inside the big tier
+    # fusions (the select_reduce family, PERF §2.13).
+    tk0v = np.sort(rs.rand(Rb, K).astype(np.float32) * 3.0, axis=1)
+    tk1v = tk0v + 0.1 + rs.rand(Rb, K).astype(np.float32) * 0.4
+    kvalid = (np.arange(K)[None, :] < rs.randint(1, K + 1, (Rb, 1)))
+    sel_a = (rs.rand(Rb, K).astype(np.float32) * 4.0)
+    sel_b = rs.randn(Rb, K).astype(np.float32)
+    t_pt = np.sort(rs.rand(Rb, S).astype(np.float32) * 3.0, axis=1)
+    u_sel = rs.rand(Rb, S).astype(np.float32)
+    blend_range = np.float32(0.05)
+    tk0v, tk1v, kvalid, sel_a, sel_b, t_pt, u_sel = map(
+        put, (tk0v, tk1v, kvalid, sel_a, sel_b, t_pt, u_sel))
+
+    def selk_base(tk0, tk1, kv, sa, sb, tp, u):
+        tk0 = tk0[:, None, :]
+        tk1 = tk1[:, None, :]
+        kv = kv[:, None, :]
+        tpx = tp[..., None]
+        active = kv & (tk0 <= tpx) & (tpx < tk1)
+        n_active = jnp.sum(active, -1)
+        iv = jnp.maximum(tk0 - tpx, tpx - tk1)
+        iv = jnp.where(kv, jnp.maximum(iv, 0.0), jnp.inf)
+        fb = jnp.argmin(iv, -1)
+        active = jnp.where((n_active == 0)[..., None],
+                           jax.nn.one_hot(fb, K, dtype=bool), active)
+        d2 = sa[:, None, :] + 2.0 * tpx * sb[:, None, :] + (tp * tp)[..., None]
+        d2 = jnp.where(active, jnp.maximum(d2, 0.0), jnp.inf)
+        dist = jnp.where(active, jnp.sqrt(d2), jnp.inf)
+        min_d = jnp.min(dist, -1, keepdims=True)
+        w = jnp.where(active, jnp.maximum(blend_range + min_d - dist, 0.0), 0.0)
+        prob = w / jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-20)
+        cum2 = jnp.cumsum(prob, -1)
+        sel = jnp.clip(jnp.sum((u[..., None] > cum2).astype(jnp.int32), -1), 0, K - 1)
+        return sel, jnp.maximum(n_active, 1)
+
+    def selk_sminor(tk0, tk1, kv, sa, sb, tp, u):
+        # [Rb, K, S] orientation: reductions over axis 1, S on lanes.
+        tk0 = tk0[:, :, None]
+        tk1 = tk1[:, :, None]
+        kv = kv[:, :, None]
+        tpx = tp[:, None, :]
+        active = kv & (tk0 <= tpx) & (tpx < tk1)
+        n_active = jnp.sum(active, 1)
+        iv = jnp.maximum(tk0 - tpx, tpx - tk1)
+        iv = jnp.where(kv, jnp.maximum(iv, 0.0), jnp.inf)
+        fb = jnp.argmin(iv, 1)
+        oh_fb = jnp.arange(K)[None, :, None] == fb[:, None, :]
+        active = jnp.where((n_active == 0)[:, None, :], oh_fb, active)
+        d2 = sa[:, :, None] + 2.0 * tpx * sb[:, :, None] + (tp * tp)[:, None, :]
+        d2 = jnp.where(active, jnp.maximum(d2, 0.0), jnp.inf)
+        dist = jnp.where(active, jnp.sqrt(d2), jnp.inf)
+        min_d = jnp.min(dist, 1, keepdims=True)
+        w = jnp.where(active, jnp.maximum(blend_range + min_d - dist, 0.0), 0.0)
+        prob = w / jnp.maximum(jnp.sum(w, 1, keepdims=True), 1e-20)
+        cum2 = jnp.cumsum(prob, 1)
+        sel = jnp.clip(jnp.sum((u[:, None, :] > cum2).astype(jnp.int32), 1), 0, K - 1)
+        return sel, jnp.maximum(n_active, 1)
+
+    if "4" in args.groups:
+        print("-- overlap resolution (nearest_blend sel_k) --")
+        g4 = (tk0v, tk1v, kvalid, sel_a, sel_b, t_pt, u_sel)
+        base, _ = bench("selk base (K-minor)", selk_base, g4, args.reps)
+        v, _ = bench("selk S-minor", selk_sminor, g4, args.reps)
+        check_equal("selk S-minor", base, v)
 
 
 if __name__ == "__main__":
