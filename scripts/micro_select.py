@@ -24,18 +24,22 @@ def bench(name, fn, args, reps, pert_idx=0):
 
     Loop-invariant hoisting trap: a fori_loop whose body recomputes
     fn(constant args) gets hoisted by XLA.  Each iteration instead adds the
-    previous output's first element scaled to ~1e-38 to args[pert_idx] —
-    a data dependence XLA cannot fold away, but an EXACT f32 identity for
-    any operand magnitude above ~1e-14, so every iteration computes
-    bit-identical values."""
+    previous output scaled to ~1e-38 to args[pert_idx] — a data dependence
+    XLA cannot fold away, but an EXACT f32 identity for any operand
+    magnitude above ~1e-14, so every iteration computes bit-identical
+    values.  The carry reduces over EVERY output element: a carry built
+    from out[0,0] alone lets XLA slice the whole iteration down to one
+    element (observed: "count base 0.006 ms", "selk 0.008 ms" — fake).
+    The full reduce adds one cheap pass over the output, equal across
+    variants."""
     import jax
     import jax.numpy as jnp
 
     def run(a):
         def body(i, c):
             out = fn(*[x + c if j == pert_idx else x for j, x in enumerate(a)])
-            leaf = jax.tree.leaves(out)[0].ravel()[0]
-            return leaf.astype(jnp.float32) * jnp.float32(1e-38)
+            tot = sum(jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(out))
+            return tot * jnp.float32(1e-38)
 
         last = jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
         return fn(*a), last  # final eval for the equality check; keep `last`
