@@ -96,9 +96,11 @@ def main():
         render_chunk=262144, ray_block=1024, max_hits=48, budget=0,
         n_samples=1024, step_cap=320, compute_dtype="bfloat16", net_chunk=32768,
         cull_budget=448,
-        # Round-4 sweep winner (+11.4% over no tri-cull, exact by branching,
-        # same golden — runlogs/round4/queue.log tri512 vs tri0; PERF §2.12).
-        tri_cull_budget=int(os.environ.get("NERFTEX_BENCH_TRI_CULL", "512")),
+        # Round-4 sweep winner (exact by branching, same golden).  tri512 beat
+        # tri0 by +11.4% (runlogs/round4/queue.log); tri384 then beat tri512
+        # in two independent in-frame bench A/Bs (+8.2% phase C, +4.6% phase G
+        # — runlogs/round4c & round4g/queue.log; PERF §2.12).
+        tri_cull_budget=int(os.environ.get("NERFTEX_BENCH_TRI_CULL", "384")),
     )
     data = {k: jax.device_put(v) for k, v in ray_data(512, 512).items()}
     jax.block_until_ready(list(data.values()))
