@@ -71,14 +71,23 @@ _PACKED_PERMUTE = os.environ.get("NERFTEX_PACKED_PERMUTE", "1") != "0"
 # 2.3x the one-hot form in isolation at plush dims (micro_select "pick",
 # runlogs/round4f/queue.log).  Results can differ by 1 ulp of s_arc from the
 # one-hot form ONLY through XLA's per-graph fma choice on i*step + t_off,
-# not through the select itself.  NERFTEX_RUNSEL_WALK=1 enables.
+# not through the select itself.  NERFTEX_RUNSEL_WALK=1 enables.  Default
+# OFF: despite the micro win, the in-frame A/B regressed plush 11%
+# (200.9k vs 226.7k rays/s, runlogs/round4h/queue.log — the fori walk
+# serializes against the rest of the block where the one-hot reduce
+# overlaps it), and the DCE-proof micro rerun (runlogs/round4i) showed the
+# original 2.3x was partly a sliced-carry artifact.
 _RUNSEL_WALK = os.environ.get("NERFTEX_RUNSEL_WALK", "0") == "1"
 
 # One-hot table selection emitted as D separate [.., S] channel reductions
-# instead of one [.., S, K, D] virtual 4-D reduce: measured 3.1x in
-# isolation at plush dims (micro_select "vals", runlogs/round4f/queue.log).
-# Per-element arithmetic identical -> bit-exact.  NERFTEX_DMAJOR_SELECT=1.
-_DMAJOR_SELECT = os.environ.get("NERFTEX_DMAJOR_SELECT", "0") == "1"
+# instead of one [.., S, K, D] virtual 4-D reduce: 1.6x in the DCE-proof
+# micro at plush dims (runlogs/round4i/queue.log) and a win or neutral
+# in-frame on every scene — plush +3.3%, grass +4.6%, carpet +0.4%,
+# bench.py +2.4% (runlogs/round4h + round4j/queue.log).  Per-element
+# arithmetic identical -> bit-exact
+# (tests/test_sorted_render.py::test_dmajor_select_bitexact).
+# Default ON; NERFTEX_DMAJOR_SELECT=0 is the kill switch.
+_DMAJOR_SELECT = os.environ.get("NERFTEX_DMAJOR_SELECT", "1") != "0"
 
 from nerftex_tpu.instancing.scene import Scene
 from nerftex_tpu.ops.volume import mean_distance
