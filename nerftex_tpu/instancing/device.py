@@ -89,6 +89,29 @@ _RUNSEL_WALK = os.environ.get("NERFTEX_RUNSEL_WALK", "0") == "1"
 # Default ON; NERFTEX_DMAJOR_SELECT=0 is the kill switch.
 _DMAJOR_SELECT = os.environ.get("NERFTEX_DMAJOR_SELECT", "1") != "0"
 
+# Force the per-sample stage's event/hit tables into row-major layout
+# before the [Rb,S,*] select/count fusions consume them.  The tables are
+# produced by sort/cumsum along the LAST axis — scan ops whose preferred
+# TPU layout is ray-minor {0,1} (trace operands f32[2048,128]{0,1},
+# runlogs/round4/trace_plush.txt) — and XLA fuses the resulting transpose
+# per-ELEMENT into every consumer reduce, which PERF §2.13 measured ~100x
+# off roofline.  One materialized relayout per table per block amortizes
+# it.  Pure data movement -> bit-exact
+# (tests/test_sorted_render.py::test_event_relayout_bitexact).
+# NERFTEX_EVENT_RELAYOUT=0 is the kill switch.
+_EVENT_RELAYOUT = os.environ.get("NERFTEX_EVENT_RELAYOUT", "0") == "1"
+
+# Segment lookup as ONE interval-membership where/sum instead of the
+# materialized s32 count + one-hot pick pair: corr[clip(count, 0, 2K-1)]
+# selects index k exactly when s lands in [cum[k-1], cum[k]) (cum[-1] =
+# -inf; the clip extends the last interval to +inf), so the pick needs no
+# count intermediate and no second compare pass.  Ties make interval k
+# empty, matching the count form's index skip — exactly one true per
+# (r,s), one-term add -> bit-exact (micro: 1.25x at plush dims,
+# runlogs/round4l; tests/test_sorted_render.py::test_interval_pick_bitexact).
+# NERFTEX_INTERVAL_PICK=1 enables.
+_INTERVAL_PICK = os.environ.get("NERFTEX_INTERVAL_PICK", "0") == "1"
+
 from nerftex_tpu.instancing.scene import Scene
 from nerftex_tpu.ops.volume import mean_distance
 
@@ -436,6 +459,36 @@ def _onehot_pick1(oh, vals):
     if vals.ndim == oh.ndim:
         return jnp.sum(jnp.where(oh, vals, 0), axis=-1)
     return jnp.sum(jnp.where(oh, vals[:, None, :], 0), axis=-1)
+
+
+def _interval_pick(cum, s, vals):
+    """vals[i][clip(count, 0, 2K-1)] with count = sum(cum <= s, -1), as one
+    interval-membership where/sum per channel (see ``_INTERVAL_PICK``).
+
+    cum [R,2K] ascending, s [R,S], vals a tuple of [R,2K] tables ->
+    tuple of [R,S] picks, bit-exact vs the count + one-hot form."""
+    ninf = jnp.full_like(cum[:, :1], -jnp.inf)
+    lo = jnp.concatenate([ninf, cum[:, :-1]], -1)
+    hi = jnp.concatenate([cum[:, :-1], -ninf], -1)
+    sx = s[..., None]
+    inb = (lo[:, None, :] <= sx) & (sx < hi[:, None, :])
+    return tuple(jnp.sum(jnp.where(inb, v[:, None, :], 0.0), -1) for v in vals)
+
+
+def _force_rowmajor(x):
+    """Materialize ``x`` in row-major layout (bit-exact pure data movement).
+
+    A ``[R,C]{0,1}`` (column-major) array reshaped to ``[R*C]{0}`` is a
+    PHYSICAL relayout — the linear orders differ — and the reshape back to
+    ``[R,C]`` row-major is then a bitcast.  The ``optimization_barrier``
+    stops XLA's algebraic simplifier from folding the reshape pair away.
+    Used to break the layout chain between the sort/cumsum event-table
+    producers (which prefer ray-minor) and the [Rb,S,*] per-sample reduce
+    consumers (see ``_EVENT_RELAYOUT``).  If ``x`` is already row-major the
+    flatten is itself a bitcast and the whole thing is ~free."""
+    if not _EVENT_RELAYOUT:
+        return x
+    return jax.lax.optimization_barrier(x.reshape(-1)).reshape(x.shape)
 
 
 def _running_select(events, queries, val_tables):
@@ -1187,11 +1240,24 @@ class DeviceInstancer:
         K = ray["tk0"].shape[-1]
         P = parameters.shape[-1]
 
+        if _EVENT_RELAYOUT:
+            # Break the ray-minor layout chain from the sort/cumsum
+            # producers before the [Rb,S,*] reduces fan out over these.
+            ray = dict(ray)
+            for k in ("cum_incl", "arc_corr", "tk0", "tk1", "kvalid",
+                      "sel_a", "sel_b"):
+                if ray.get(k) is not None:
+                    ray[k] = _force_rowmajor(ray[k])
+
         i_grid = jnp.arange(S, dtype=jnp.float32)[None, :]
         s_arc = i_grid * step + ray["t_offset"][:, None]             # [Rb,S]
 
         if _RUNSEL_WALK:
             t_mu = s_arc + _running_select(
+                ray["cum_incl"], s_arc, (ray["arc_corr"],)
+            )[0]
+        elif _INTERVAL_PICK:
+            t_mu = s_arc + _interval_pick(
                 ray["cum_incl"], s_arc, (ray["arc_corr"],)
             )[0]
         else:
@@ -2072,10 +2138,19 @@ class DeviceInstancer:
         hit arc are invalid rows — their (unused, NaN-propagating) shadow
         results are not-blocked on every branch."""
         Ssh = self.shadow_samples
+        if _EVENT_RELAYOUT:
+            # Same layout break as _per_sample_grid: these arrive straight
+            # from the ray-minor sort/cumsum producers in this program.
+            cum_incl = _force_rowmajor(cum_incl)
+            cum_excl = _force_rowmajor(cum_excl)
+            times_s = _force_rowmajor(times_s)
         frac = (jnp.arange(Ssh) + 0.5) / Ssh
         s_sh = frac[None, :] * total[:, None]                        # [Rb,Ssh]
         if _RUNSEL_WALK:
             t_pick, c_pick = _running_select(cum_incl, s_sh, (times_s, cum_excl))
+            t_sh = t_pick + (s_sh - c_pick)
+        elif _INTERVAL_PICK:
+            t_pick, c_pick = _interval_pick(cum_incl, s_sh, (times_s, cum_excl))
             t_sh = t_pick + (s_sh - c_pick)
         else:
             j = jnp.sum(cum_incl[:, None, :] <= s_sh[:, :, None], axis=-1)

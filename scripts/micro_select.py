@@ -288,6 +288,81 @@ def main():
         v, _ = bench("selk S-minor", selk_sminor, g4, args.reps)
         check_equal("selk S-minor", base, v)
 
+    # ---- group 5: producer-layout sensitivity ---------------------------
+    # In-frame the count's input arrives from cumsum/sort along the LAST
+    # axis — scan ops whose preferred layout is ray-minor {0,1} (trace
+    # operands f32[2048,128]{0,1}) — while groups 1-4 feed device_put
+    # row-major {1,0} arrays.  Reproduce the in-frame producer (cumsum ->
+    # count/pick in one graph) and time the forced-rowmajor fix: flatten
+    # through an optimization_barrier (a [R,C]{0,1} -> [R*C]{0} reshape is a
+    # physical relayout, the reshape back is a bitcast; the barrier stops
+    # the simplifier folding the pair) — pure data movement, bit-exact.
+    seg = np.diff(np.concatenate([np.zeros((Rb, 1), np.float32), np.asarray(cum)], 1), axis=1)
+    seg = put(np.ascontiguousarray(seg))
+
+    def force_rowmajor(x):
+        return jax.lax.optimization_barrier(x.reshape(-1)).reshape(x.shape)
+
+    def count_prod(seg, t_off):
+        return count_base(jnp.cumsum(seg, -1), t_off)
+
+    def count_prod_fix(seg, t_off):
+        return count_base(force_rowmajor(jnp.cumsum(seg, -1)), t_off)
+
+    def pick_prod(seg, corr, t_off):
+        return pick_base(jnp.cumsum(seg, -1), corr, t_off)
+
+    def pick_prod_fix(seg, corr, t_off):
+        cum2 = force_rowmajor(jnp.cumsum(seg, -1))
+        return pick_base(cum2, force_rowmajor(corr + 0.0 * cum2), t_off)
+
+    if "5" in args.groups:
+        print("-- producer layout (cumsum -> count/pick) --")
+        base, _ = bench("count cumsum-fed", count_prod, (seg, t_off), args.reps)
+        v, _ = bench("count cumsum-fed + rowmajor", count_prod_fix,
+                     (seg, t_off), args.reps)
+        check_equal("count rowmajor fix", base, v)
+        base, _ = bench("pick cumsum-fed", pick_prod, (seg, corr, t_off), args.reps)
+        v, _ = bench("pick cumsum-fed + rowmajor", pick_prod_fix,
+                     (seg, corr, t_off), args.reps)
+        check_equal("pick rowmajor fix", base, v)
+
+    # ---- group 6: interval-membership pick (no count intermediate) ------
+    # corr[clip(count, 0, 2K-1)] selects index k exactly when s_arc lands in
+    # [cum[k-1], cum[k]) (with cum[-1] = -inf and the last interval extended
+    # to +inf by the clip) — so the pick can be ONE where/sum reduce over
+    # the interval-membership mask, skipping the materialized s32 count and
+    # the second one-hot compare entirely.  Ties (cum[k-1] == cum[k]) make
+    # interval k empty, matching the count form's index skip — exactly one
+    # true per (r,s), so the sum is still an exact one-term add.
+    def pick_interval(cum, corr, t_off):
+        s_arc = s_arc_of(t_off)
+        ninf = jnp.full_like(cum[:, :1], -jnp.inf)
+        pinf = jnp.full_like(cum[:, :1], jnp.inf)
+        lo = jnp.concatenate([ninf, cum[:, :-1]], -1)
+        hi = jnp.concatenate([cum[:, :-1], pinf], -1)
+        sx = s_arc[..., None]
+        inb = (lo[:, None, :] <= sx) & (sx < hi[:, None, :])
+        return s_arc + jnp.sum(jnp.where(inb, corr[:, None, :], 0.0), -1)
+
+    def pick_interval_prod(seg, corr, t_off):
+        return pick_interval(jnp.cumsum(seg, -1), corr, t_off)
+
+    def pick_interval_prod_fix(seg, corr, t_off):
+        cum2 = force_rowmajor(jnp.cumsum(seg, -1))
+        return pick_interval(cum2, force_rowmajor(corr + 0.0 * cum2), t_off)
+
+    if "6" in args.groups:
+        print("-- interval-membership pick --")
+        base, _ = bench("pick cumsum-fed (count form)", pick_prod,
+                        (seg, corr, t_off), args.reps)
+        v, _ = bench("pick interval cumsum-fed", pick_interval_prod,
+                     (seg, corr, t_off), args.reps)
+        check_equal("pick interval", base, v)
+        v, _ = bench("pick interval + rowmajor", pick_interval_prod_fix,
+                     (seg, corr, t_off), args.reps)
+        check_equal("pick interval rowmajor", base, v)
+
 
 if __name__ == "__main__":
     main()

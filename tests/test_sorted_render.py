@@ -246,6 +246,55 @@ def test_dmajor_select_bitexact(monkeypatch):
     assert outs[True]["alpha_pred"].max() > 0.3
 
 
+def test_event_relayout_bitexact(monkeypatch):
+    """_force_rowmajor (NERFTEX_EVENT_RELAYOUT=1) is pure data movement —
+    a materialized relayout of the event/hit tables between the sort/cumsum
+    producers and the per-sample + sparse-shadow consumers.  The frame must
+    be bit-identical with the gate on or off."""
+    import jax
+
+    from nerftex_tpu.instancing import device as device_mod
+
+    data = _ray_batch()
+    data["parameters"] = np.array([[1, 1, 1, 0.1, 0, 0, -1.0]], np.float32)
+    outs = {}
+    for flag in (True, False):
+        monkeypatch.setattr(device_mod, "_EVENT_RELAYOUT", flag)
+        r = _three_box_renderer(
+            True, textures=("", "", "", "", "light"), cast_shadow_rays=True
+        )
+        out = r(**data, training=False, key=jax.random.key(7))
+        outs[flag] = {k: np.asarray(v) for k, v in out.items()}
+    for k in sorted(outs[True]):
+        assert np.array_equal(outs[True][k], outs[False][k], equal_nan=True), k
+    assert outs[True]["alpha_pred"].max() > 0.3
+
+
+def test_interval_pick_bitexact(monkeypatch):
+    """_interval_pick (NERFTEX_INTERVAL_PICK=1) selects the same event index
+    as the count + one-hot form — [cum[k-1], cum[k]) membership IS
+    clip(count, 0, 2K-1) == k — via the same where/sum arithmetic, so the
+    frame must be bit-identical (both call sites: the grid t_mu pick and
+    the sparse-shadow (times_s, cum_excl) pick)."""
+    import jax
+
+    from nerftex_tpu.instancing import device as device_mod
+
+    data = _ray_batch()
+    data["parameters"] = np.array([[1, 1, 1, 0.1, 0, 0, -1.0]], np.float32)
+    outs = {}
+    for flag in (True, False):
+        monkeypatch.setattr(device_mod, "_INTERVAL_PICK", flag)
+        r = _three_box_renderer(
+            True, textures=("", "", "", "", "light"), cast_shadow_rays=True
+        )
+        out = r(**data, training=False, key=jax.random.key(7))
+        outs[flag] = {k: np.asarray(v) for k, v in out.items()}
+    for k in sorted(outs[True]):
+        assert np.array_equal(outs[True][k], outs[False][k], equal_nan=True), k
+    assert outs[True]["alpha_pred"].max() > 0.3
+
+
 def test_runsel_walk_matches_onehot(monkeypatch):
     """The running-select segment walk (NERFTEX_RUNSEL_WALK=1) computes
     vals[clip(count, 0, 2K-1)] by construction — the select itself is exact,
