@@ -98,8 +98,11 @@ _DMAJOR_SELECT = os.environ.get("NERFTEX_DMAJOR_SELECT", "1") != "0"
 # off roofline.  One materialized relayout per table per block amortizes
 # it.  Pure data movement -> bit-exact
 # (tests/test_sorted_render.py::test_event_relayout_bitexact).
-# NERFTEX_EVENT_RELAYOUT=0 is the kill switch.
-_EVENT_RELAYOUT = os.environ.get("NERFTEX_EVENT_RELAYOUT", "0") == "1"
+# Default ON since the round-4l in-frame A/B (win-or-neutral everywhere:
+# plush 236.4k->241.5k combined with INTERVAL_PICK, grass/carpet neutral-
+# positive; runlogs/round4l/queue.log).  NERFTEX_EVENT_RELAYOUT=0 is the
+# kill switch.
+_EVENT_RELAYOUT = os.environ.get("NERFTEX_EVENT_RELAYOUT", "1") != "0"
 
 # Segment lookup as ONE interval-membership where/sum instead of the
 # materialized s32 count + one-hot pick pair: corr[clip(count, 0, 2K-1)]
@@ -109,8 +112,10 @@ _EVENT_RELAYOUT = os.environ.get("NERFTEX_EVENT_RELAYOUT", "0") == "1"
 # empty, matching the count form's index skip — exactly one true per
 # (r,s), one-term add -> bit-exact (micro: 1.25x at plush dims,
 # runlogs/round4l; tests/test_sorted_render.py::test_interval_pick_bitexact).
-# NERFTEX_INTERVAL_PICK=1 enables.
-_INTERVAL_PICK = os.environ.get("NERFTEX_INTERVAL_PICK", "0") == "1"
+# Default ON since the round-4l in-frame A/B (combined with EVENT_RELAYOUT:
+# plush +2.2%, grass +0.5%, carpet bench +1.4%; runlogs/round4l/queue.log).
+# NERFTEX_INTERVAL_PICK=0 is the kill switch.
+_INTERVAL_PICK = os.environ.get("NERFTEX_INTERVAL_PICK", "1") != "0"
 
 from nerftex_tpu.instancing.scene import Scene
 from nerftex_tpu.ops.volume import mean_distance
