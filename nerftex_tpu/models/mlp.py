@@ -19,6 +19,7 @@ from typing import Union
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from nerftex_tpu.utils import util
 from nerftex_tpu.utils.util import EasyDict
@@ -27,6 +28,15 @@ from nerftex_tpu.utils import rng
 # Counter so successive factory calls (e.g. CoarseFine's two models) get
 # distinct-but-deterministic init keys under one global seed.
 _INIT_COUNTER = [0]
+
+
+def _enc(x):
+    """Tag an encoder output for the remat policy (renderer.chunked_apply
+    with remat="save_encodings"): the frequency lift + sin/cos + dtype
+    convert chain (PERF.md §1.4's sine_convert_fusion family) is saved in
+    the forward and NOT recomputed in the backward, while dense-layer
+    activations still remat.  A no-op for every other remat setting."""
+    return checkpoint_name(x, "encoding")
 
 
 def _next_init_key():
@@ -135,8 +145,8 @@ def Nerf(
 
     def apply(p, pos, dirs, prms):
         del prms
-        pos_map = pos_fm(pos).astype(cdt)
-        dir_map = dir_fm(dirs).astype(cdt)
+        pos_map = _enc(pos_fm(pos).astype(cdt))
+        dir_map = _enc(dir_fm(dirs).astype(cdt))
 
         # Wide concats (skip join, direction join) stay virtual: each
         # consumer dense runs as split partial matmuls (_dense_cat).
@@ -239,21 +249,21 @@ def ParamNerf(
         # concat-then-dense layers (model.py:88-104) are mathematically
         # identical, but materializing [N, 300+]-wide activation concats was
         # the top HBM cost inside the render MLP loop on TPU.
-        pos_parts = [pos_fm(pos).astype(cdt)]
-        dir_parts = [dir_fm(dirs).astype(cdt)]
+        pos_parts = [_enc(pos_fm(pos).astype(cdt))]
+        dir_parts = [_enc(dir_fm(dirs).astype(cdt))]
 
         if extra_fm is not None:
             emb_in = jnp.concatenate([pos, prms], -1) if include_param_dims else pos
-            pos_parts.append(extra_fm(emb_in).astype(cdt))
+            pos_parts.append(_enc(extra_fm(emb_in).astype(cdt)))
 
         if n_geo > 0:
-            g = param_fm(prms[:, :n_geo]).astype(cdt)
+            g = _enc(param_fm(prms[:, :n_geo]).astype(cdt))
             for layer in p["param_geo"]:
                 g = jax.nn.relu(_dense(layer, g, cdt))
             pos_parts.append(g)
 
         if n_app > 0:
-            a = param_fm(prms[:, n_geo:]).astype(cdt)
+            a = _enc(param_fm(prms[:, n_geo:]).astype(cdt))
             for layer in p["param_app"]:
                 a = jax.nn.relu(_dense(layer, a, cdt))
             dir_parts.append(a)

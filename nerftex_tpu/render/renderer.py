@@ -34,9 +34,22 @@ def chunked_apply(apply_fn, params, inputs, net_chunk: int, remat: bool = False)
     remat=True wraps the chunk body in jax.checkpoint: backward recomputes
     the chunk's activations instead of stacking every layer into
     [n_chunks, net_chunk, width] loop-carried buffers — the dynamic-update-
-    slice stacking was measured at 36% of the train step (docs/PERF.md §1)."""
+    slice stacking was measured at 36% of the train step (docs/PERF.md §1).
+    remat="save_encodings" additionally SAVES the encoder outputs (tagged
+    `checkpoint_name(..., "encoding")` in models/mlp.py) so the backward
+    skips the frequency-lift + sin/cos recompute — ~10% of the train-step
+    budget was the sine_convert family, half of it remat recompute
+    (docs/PERF.md §1.4/§1.5); value/grad-identical to remat=True."""
     n = inputs[0].shape[0]
-    body = jax.checkpoint(apply_fn) if remat else apply_fn
+    if remat == "save_encodings":
+        body = jax.checkpoint(
+            apply_fn,
+            policy=jax.checkpoint_policies.save_only_these_names("encoding"),
+        )
+    elif remat:
+        body = jax.checkpoint(apply_fn)
+    else:
+        body = apply_fn
     if n <= net_chunk:
         return body(params, *inputs)
 
@@ -72,7 +85,7 @@ class Renderer:
         downsampling_factor: int = 1,
         blur_idx: int = None,
         map_exr: bool = False,
-        remat_net_chunks: bool = False,
+        remat_net_chunks=False,  # False | True | "save_encodings"
         **kwargs,
     ) -> None:
         self.model = model

@@ -32,9 +32,11 @@ def main():
              "(no scan, no activation stacking — see docs/PERF.md)",
     )
     ap.add_argument(
-        "--remat", action="store_true",
+        "--remat", nargs="?", const=True, default=False,
+        type=lambda s: s if s == "save_encodings" else bool(s),
         help="jax.checkpoint the net_chunk bodies (recompute instead of "
-             "stacking activations, docs/PERF.md §1)",
+             "stacking activations, docs/PERF.md §1); pass "
+             "'save_encodings' to keep encoder outputs saved (§1.5)",
     )
     ap.add_argument(
         "--flat-params", action="store_true",

@@ -100,6 +100,24 @@ def test_flat_step_matches_pytree_step_remat_chunks():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_save_encodings_remat_matches_full_remat():
+    """remat_net_chunks="save_encodings" (jax.checkpoint with a
+    save_only_these_names("encoding") policy over the checkpoint_name-tagged
+    encoder outputs, models/mlp.py::_enc) changes only the backward's
+    recompute schedule — losses and trained params must match full remat
+    step for step (docs/PERF.md §1.5)."""
+    models_ref = _models()
+    params_ref, losses_ref = _run_steps(models_ref, remat=True, net_chunk=256)
+
+    models_se = _models()
+    params_se, losses_se = _run_steps(models_se, remat="save_encodings",
+                                      net_chunk=256)
+
+    np.testing.assert_allclose(losses_se, losses_ref, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(params_se), jax.tree.leaves(params_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_apply_flat_param_space_idempotent():
     models = _models()
     u1 = apply_flat_param_space(models)
