@@ -363,6 +363,178 @@ def main():
                      (seg, corr, t_off), args.reps)
         check_equal("pick interval rowmajor", base, v)
 
+    # ---- group 7: sel_k chain re-formulations ---------------------------
+    # The round-4m plush trace still shows the nearest_blend chain at
+    # 10.97 ms/exec (convert_reduce_fusion.26, S=320 K=128 tier) — ~100x
+    # off VPU roofline for ~840 Mop.  Group 4 showed orientation doesn't
+    # matter; these variants probe WHERE the time goes and whether breaking
+    # the mega-fusion (barrier splits) or streaming K in chunks (bounded
+    # working set, some recompute) buys anything.  Probes marked (*) are
+    # NOT candidate adoptions (they skip work); they bound the chain's cost
+    # structure.
+    def _selk_stages(tk0, tk1, kv, sa, sb, tp, u, barrier=False):
+        bar = jax.lax.optimization_barrier if barrier else (lambda x: x)
+        tk0 = tk0[:, None, :]
+        tk1 = tk1[:, None, :]
+        kv = kv[:, None, :]
+        tpx = tp[..., None]
+        active = kv & (tk0 <= tpx) & (tpx < tk1)
+        n_active = jnp.sum(active, -1)
+        iv = jnp.maximum(tk0 - tpx, tpx - tk1)
+        iv = jnp.where(kv, jnp.maximum(iv, 0.0), jnp.inf)
+        fb = jnp.argmin(iv, -1)
+        active = jnp.where((n_active == 0)[..., None],
+                           jax.nn.one_hot(fb, K, dtype=bool), active)
+        active = bar(active)
+        d2 = sa[:, None, :] + 2.0 * tpx * sb[:, None, :] + (tp * tp)[..., None]
+        d2 = jnp.where(active, jnp.maximum(d2, 0.0), jnp.inf)
+        dist = jnp.where(active, jnp.sqrt(d2), jnp.inf)
+        dist = bar(dist)
+        min_d = jnp.min(dist, -1, keepdims=True)
+        w = jnp.where(active, jnp.maximum(blend_range + min_d - dist, 0.0), 0.0)
+        w = bar(w)
+        prob = w / jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-20)
+        cum2 = jnp.cumsum(prob, -1)
+        sel = jnp.clip(jnp.sum((u[..., None] > cum2).astype(jnp.int32), -1), 0, K - 1)
+        return sel, jnp.maximum(n_active, 1)
+
+    def selk_barrier(tk0, tk1, kv, sa, sb, tp, u):
+        return _selk_stages(tk0, tk1, kv, sa, sb, tp, u, barrier=True)
+
+    def selk_chunked(tk0, tk1, kv, sa, sb, tp, u, Kc=32):
+        """Stream K in chunks: 4 passes with [Rb,S] carries and a
+        [Rb,S,Kc] working set; recomputes active/dist per pass.  Sum/cumsum
+        re-association can flip boundary samples (epsilon-level)."""
+        nC = K // Kc
+        tpx = tp[..., None]
+        tp2 = tp * tp
+
+        def chunk(c, f):
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * Kc, Kc, 1)
+            return f(sl(tk0)[:, None, :], sl(tk1)[:, None, :],
+                     sl(kv)[:, None, :], sl(sa)[:, None, :], sl(sb)[:, None, :])
+
+        def act_of(t0, t1, k):
+            return k & (t0 <= tpx) & (tpx < t1)
+
+        # pass A: n_active, (min_iv, fb)
+        def passA(c, carry):
+            n_act, min_iv, fb = carry
+
+            def f(t0, t1, k, a_, b_):
+                act = act_of(t0, t1, k)
+                iv = jnp.maximum(t0 - tpx, tpx - t1)
+                iv = jnp.where(k, jnp.maximum(iv, 0.0), jnp.inf)
+                civ = jnp.min(iv, -1)
+                cfb = jnp.argmin(iv, -1) + c * Kc
+                upd = civ < min_iv
+                return (n_act + jnp.sum(act, -1),
+                        jnp.where(upd, civ, min_iv),
+                        jnp.where(upd, cfb, fb))
+
+            return chunk(c, f)
+
+        Rb_, S_ = tp.shape
+        n_act, min_iv, fb = jax.lax.fori_loop(
+            0, nC, passA,
+            (jnp.zeros((Rb_, S_), jnp.int32), jnp.full((Rb_, S_), jnp.inf),
+             jnp.zeros((Rb_, S_), jnp.int32)))
+        no_act = n_act == 0
+
+        def act2_of(t0, t1, k, c):
+            act = act_of(t0, t1, k)
+            oh_fb = (fb[..., None] == (jnp.arange(Kc) + c * Kc)[None, None, :])
+            return jnp.where(no_act[..., None], oh_fb, act)
+
+        # pass B: min_d
+        def passB(c, min_d):
+            def f(t0, t1, k, a_, b_):
+                act = act2_of(t0, t1, k, c)
+                d2 = a_ + 2.0 * tpx * b_ + tp2[..., None]
+                dist = jnp.where(act, jnp.sqrt(jnp.where(act, jnp.maximum(d2, 0.0), jnp.inf)), jnp.inf)
+                return jnp.minimum(min_d, jnp.min(dist, -1))
+
+            return chunk(c, f)
+
+        min_d = jax.lax.fori_loop(0, nC, passB, jnp.full((Rb_, S_), jnp.inf))
+
+        def w_of(t0, t1, k, a_, b_, c):
+            act = act2_of(t0, t1, k, c)
+            d2 = a_ + 2.0 * tpx * b_ + tp2[..., None]
+            dist = jnp.where(act, jnp.sqrt(jnp.where(act, jnp.maximum(d2, 0.0), jnp.inf)), jnp.inf)
+            return jnp.where(act, jnp.maximum(blend_range + min_d[..., None] - dist, 0.0), 0.0)
+
+        # pass C1: w_sum
+        def passC1(c, wsum):
+            return wsum + chunk(c, lambda *a: jnp.sum(w_of(*a, c), -1))
+
+        wsum = jax.lax.fori_loop(0, nC, passC1, jnp.zeros((Rb_, S_), jnp.float32))
+        wsum = jnp.maximum(wsum, 1e-20)
+
+        # pass C2: sel count over cum2
+        def passC2(c, carry):
+            cumw, count = carry
+
+            def f(t0, t1, k, a_, b_):
+                w = w_of(t0, t1, k, a_, b_, c)
+                cum_c = cumw[..., None] + jnp.cumsum(w / wsum[..., None], -1)
+                return (cum_c[..., -1],
+                        count + jnp.sum((u[..., None] > cum_c).astype(jnp.int32), -1))
+
+            return chunk(c, f)
+
+        _, count = jax.lax.fori_loop(
+            0, nC, passC2,
+            (jnp.zeros((Rb_, S_), jnp.float32), jnp.zeros((Rb_, S_), jnp.int32)))
+        return jnp.clip(count, 0, K - 1), jnp.maximum(n_act, 1)
+
+    def selk_probe_noiv(tk0, tk1, kv, sa, sb, tp, u):
+        """(*) probe: skip the iv/fallback stage entirely."""
+        tk0x = tk0[:, None, :]
+        tk1x = tk1[:, None, :]
+        kvx = kv[:, None, :]
+        tpx = tp[..., None]
+        active = kvx & (tk0x <= tpx) & (tpx < tk1x)
+        n_active = jnp.sum(active, -1)
+        d2 = sa[:, None, :] + 2.0 * tpx * sb[:, None, :] + (tp * tp)[..., None]
+        dist = jnp.where(active, jnp.sqrt(jnp.maximum(d2, 0.0)), jnp.inf)
+        min_d = jnp.min(dist, -1, keepdims=True)
+        w = jnp.where(active, jnp.maximum(blend_range + min_d - dist, 0.0), 0.0)
+        prob = w / jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-20)
+        cum2 = jnp.cumsum(prob, -1)
+        sel = jnp.clip(jnp.sum((u[..., None] > cum2).astype(jnp.int32), -1), 0, K - 1)
+        return sel, jnp.maximum(n_active, 1)
+
+    def selk_probe_nocum(tk0, tk1, kv, sa, sb, tp, u):
+        """(*) probe: stop at w (no prob/cumsum/sel count)."""
+        tk0x = tk0[:, None, :]
+        tk1x = tk1[:, None, :]
+        kvx = kv[:, None, :]
+        tpx = tp[..., None]
+        active = kvx & (tk0x <= tpx) & (tpx < tk1x)
+        n_active = jnp.sum(active, -1)
+        iv = jnp.maximum(tk0x - tpx, tpx - tk1x)
+        iv = jnp.where(kvx, jnp.maximum(iv, 0.0), jnp.inf)
+        fb = jnp.argmin(iv, -1)
+        active = jnp.where((n_active == 0)[..., None],
+                           jax.nn.one_hot(fb, K, dtype=bool), active)
+        d2 = sa[:, None, :] + 2.0 * tpx * sb[:, None, :] + (tp * tp)[..., None]
+        dist = jnp.where(active, jnp.sqrt(jnp.where(active, jnp.maximum(d2, 0.0), jnp.inf)), jnp.inf)
+        min_d = jnp.min(dist, -1, keepdims=True)
+        w = jnp.where(active, jnp.maximum(blend_range + min_d - dist, 0.0), 0.0)
+        return jnp.sum(w, -1), jnp.maximum(n_active, 1)
+
+    if "7" in args.groups:
+        print("-- sel_k chain re-formulations --")
+        g4 = (tk0v, tk1v, kvalid, sel_a, sel_b, t_pt, u_sel)
+        base, _ = bench("selk base", selk_base, g4, args.reps, pert_idx=5)
+        v, _ = bench("selk barrier-split", selk_barrier, g4, args.reps, pert_idx=5)
+        check_equal("selk barrier", base, v)
+        v, _ = bench("selk chunked Kc=32", selk_chunked, g4, args.reps, pert_idx=5)
+        check_equal("selk chunked", base, v)
+        bench("(*) probe: no iv/fallback", selk_probe_noiv, g4, args.reps, pert_idx=5)
+        bench("(*) probe: stop at w", selk_probe_nocum, g4, args.reps, pert_idx=5)
+
 
 if __name__ == "__main__":
     main()

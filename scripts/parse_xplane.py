@@ -189,12 +189,14 @@ def self_time_report(path, top=20):
     import collections as C
 
     self_ps = C.Counter()
+    n_exec = C.Counter()
     total_wall = 0
     stack = []
     for off, dur, name in evs:
         while stack and off >= stack[-1][1]:
             s_off, s_end, s_name, s_child = stack.pop()
             self_ps[s_name] += (s_end - s_off) - s_child
+            n_exec[s_name] += 1
         if stack:
             stack[-1][3] += dur
         else:
@@ -203,6 +205,7 @@ def self_time_report(path, top=20):
     while stack:
         s_off, s_end, s_name, s_child = stack.pop()
         self_ps[s_name] += (s_end - s_off) - s_child
+        n_exec[s_name] += 1
 
     cats = C.Counter()
     for name, ps in self_ps.items():
@@ -213,9 +216,10 @@ def self_time_report(path, top=20):
     print("\n-- category budget (self time) --")
     for cat, ps in cats.most_common():
         print(f"{ps/1e9:9.2f} ms  {100*ps/total:5.1f}%  {cat}")
-    print(f"\n-- top {top} ops (self time) --")
+    print(f"\n-- top {top} ops (self time / n execs / per-exec) --")
     for name, ps in self_ps.most_common(top):
-        print(f"{ps/1e9:9.2f} ms  {str(name)[:110]}")
+        n = n_exec[name]
+        print(f"{ps/1e9:9.2f} ms /{n:5d} /{ps/n/1e9:7.3f} ms  {str(name)[:100]}")
 
 
 if __name__ == "__main__":
