@@ -17,7 +17,10 @@ config["train_dataset_config"]["device_resident"] = True
 # keep only enough for the factory's shape probe.
 config["train_dataset_config"]["data_loader_config"]["cache_size"] = 4
 config["model_config"]["compute_dtype"] = "bfloat16"
-config["renderer_config"]["remat_net_chunks"] = True
+# "save_encodings" keeps the encoder outputs saved in the backward —
+# step-identical to full remat, +1.6% measured (docs/PERF.md §1.5,
+# runlogs/round4n: 85.8 -> 87.2 steps/s).
+config["renderer_config"]["remat_net_chunks"] = "save_encodings"
 # 16k-point chunks measured fastest (83.7 steps/s vs 66.5 at the reference's
 # 65536: the [chunk,256] activation chains stay closer to VMEM instead of
 # streaming HBM at every fusion boundary — docs/PERF.md §1.3).

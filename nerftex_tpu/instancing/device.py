@@ -117,6 +117,19 @@ _EVENT_RELAYOUT = os.environ.get("NERFTEX_EVENT_RELAYOUT", "1") != "0"
 # NERFTEX_INTERVAL_PICK=0 is the kill switch.
 _INTERVAL_PICK = os.environ.get("NERFTEX_INTERVAL_PICK", "1") != "0"
 
+# Split the overlap-resolution mega-fusion (active -> iv/fallback -> dist
+# -> w -> cumsum over [Rb,S,K]) with optimization_barriers after the
+# fallback-merged `active`, after `dist`, and after `w`.  XLA otherwise
+# fuses the whole chain into one convert_reduce_fusion that re-walks the
+# K axis per reduce (plush trace: 10.97 ms/exec at S=320 K=128, ~100x off
+# VPU roofline — PERF §2.17); the barriers force the [Rb,S,K]
+# intermediates to materialize once each, trading HBM traffic for
+# recompute.  Barriers are value-identity, so this is bit-exact by
+# construction (micro: 13.87 -> 8.52 ms at plush dims, 6.04 -> 4.69 ms at
+# grass dims; runlogs/round4n/queue.log).  Default OFF pending the
+# in-frame A/B; NERFTEX_SELK_BARRIER=1 enables.
+_SELK_BARRIER = os.environ.get("NERFTEX_SELK_BARRIER", "0") == "1"
+
 from nerftex_tpu.instancing.scene import Scene
 from nerftex_tpu.ops.volume import mean_distance
 
@@ -1286,6 +1299,8 @@ class DeviceInstancer:
         active = jnp.where(
             (n_active == 0)[..., None], jax.nn.one_hot(fallback_k, K, dtype=bool), active
         )
+        if _SELK_BARRIER:
+            active = jax.lax.optimization_barrier(active)
         n_active = jnp.maximum(n_active, 1)
 
         u_sel = jax.random.uniform(key, (Rb, S))
@@ -1307,8 +1322,12 @@ class DeviceInstancer:
                 weight = jnp.ones((Rb, S), jnp.float32)
             elif method == "nearest_blend":
                 dist_k = jnp.where(active, jnp.sqrt(d2_k), jnp.inf)
+                if _SELK_BARRIER:
+                    dist_k = jax.lax.optimization_barrier(dist_k)
                 min_d = jnp.min(dist_k, -1, keepdims=True)
                 w = jnp.where(active, jnp.maximum(ds.nearest_blend_range + min_d - dist_k, 0.0), 0.0)
+                if _SELK_BARRIER:
+                    w = jax.lax.optimization_barrier(w)
                 prob = w / jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-20)
                 cum = jnp.cumsum(prob, -1)
                 sel_k = jnp.clip(jnp.sum((u_sel[..., None] > cum).astype(jnp.int32), -1), 0, K - 1)
@@ -1823,6 +1842,8 @@ class DeviceInstancer:
         active = jnp.where(
             (n_active == 0)[:, None], jax.nn.one_hot(fallback_k, K, dtype=bool), active
         )
+        if _SELK_BARRIER:
+            active = jax.lax.optimization_barrier(active)
         n_active = jnp.maximum(n_active, 1)
 
         u_sel = jax.random.uniform(key, (M,))
@@ -1844,8 +1865,12 @@ class DeviceInstancer:
                 weight = jnp.ones((M,), jnp.float32)
             elif method == "nearest_blend":
                 dist_k = jnp.where(active, jnp.sqrt(d2_k), jnp.inf)
+                if _SELK_BARRIER:
+                    dist_k = jax.lax.optimization_barrier(dist_k)
                 min_d = jnp.min(dist_k, -1, keepdims=True)
                 w = jnp.where(active, jnp.maximum(ds.nearest_blend_range + min_d - dist_k, 0.0), 0.0)
+                if _SELK_BARRIER:
+                    w = jax.lax.optimization_barrier(w)
                 prob = w / jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-20)
                 cum = jnp.cumsum(prob, -1)
                 sel_k = jnp.clip(jnp.sum((u_sel[:, None] > cum).astype(jnp.int32), -1), 0, K - 1)

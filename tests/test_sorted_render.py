@@ -410,3 +410,29 @@ def test_sorted_hit_bucketing_matches_dense():
     np.testing.assert_allclose(outs[True][0], outs[False][0], atol=5e-7)
     np.testing.assert_allclose(outs[True][1], outs[False][1], atol=5e-7)
     assert outs[True][1].max() > 0.3
+
+
+def test_selk_barrier_bitexact(monkeypatch):
+    """NERFTEX_SELK_BARRIER=1 inserts optimization_barriers inside the
+    overlap-resolution chain (after the fallback-merged `active`, after
+    `dist`, after `w`) — pure fusion-boundary hints, value-identity by
+    construction, so the frame must be bit-identical with the gate on or
+    off (nearest_blend + shadows exercises every barrier site)."""
+    import jax
+
+    from nerftex_tpu.instancing import device as device_mod
+
+    data = _ray_batch()
+    data["parameters"] = np.array([[1, 1, 1, 0.1, 0, 0, -1.0]], np.float32)
+    outs = {}
+    for flag in (True, False):
+        monkeypatch.setattr(device_mod, "_SELK_BARRIER", flag)
+        r = _three_box_renderer(
+            True, textures=("", "", "", "", "light"), cast_shadow_rays=True,
+            instance_sampling_method="nearest_blend",
+        )
+        out = r(**data, training=False, key=jax.random.key(7))
+        outs[flag] = {k: np.asarray(v) for k, v in out.items()}
+    for k in sorted(outs[True]):
+        assert np.array_equal(outs[True][k], outs[False][k], equal_nan=True), k
+    assert outs[True]["alpha_pred"].max() > 0.3
