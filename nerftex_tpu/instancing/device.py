@@ -126,9 +126,11 @@ _INTERVAL_PICK = os.environ.get("NERFTEX_INTERVAL_PICK", "1") != "0"
 # intermediates to materialize once each, trading HBM traffic for
 # recompute.  Barriers are value-identity, so this is bit-exact by
 # construction (micro: 13.87 -> 8.52 ms at plush dims, 6.04 -> 4.69 ms at
-# grass dims; runlogs/round4n/queue.log).  Default OFF pending the
-# in-frame A/B; NERFTEX_SELK_BARRIER=1 enables.
-_SELK_BARRIER = os.environ.get("NERFTEX_SELK_BARRIER", "0") == "1"
+# grass dims; runlogs/round4n/queue.log).  Default ON since the round-4o
+# in-frame A/B: plush +9.5% (243.7k -> 266.9k rays/s), carpet bench
+# +1.3%, grass neutral (runlogs/round4o/queue.log; PERF §2.19).
+# NERFTEX_SELK_BARRIER=0 is the kill switch.
+_SELK_BARRIER = os.environ.get("NERFTEX_SELK_BARRIER", "1") != "0"
 
 from nerftex_tpu.instancing.scene import Scene
 from nerftex_tpu.ops.volume import mean_distance
