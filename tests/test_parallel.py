@@ -242,21 +242,66 @@ def test_dryrun_multichip_self_provisions_subprocess():
     ge._dryrun_in_cpu_subprocess(4)
 
 
-def test_dryrun_decision_never_touches_a_backend(monkeypatch):
-    """The self-provision decision must come from env vars alone: probing
-    jax.devices() in the parent initializes the axon TPU client, and a busy
-    TPU then stalls the dryrun before any output (MULTICHIP_r03 rc=124)."""
+def test_dryrun_always_delegates_to_subprocess(monkeypatch):
+    """dryrun_multichip must have NO in-process fast path: env vars cannot
+    prove the caller's backend (the axon sitecustomize pins jax_platforms via
+    the config API, which beats JAX_PLATFORMS — MULTICHIP_r04 rc=1), and
+    probing jax.devices() in the parent stalls on a busy TPU
+    (MULTICHIP_r03 rc=124).  The only safe move is always-subprocess."""
     import __graft_entry__ as ge
 
-    # conftest pins JAX_PLATFORMS=cpu with 8 virtual devices.
-    assert ge._cpu_mesh_env_ready(8)
-    assert ge._cpu_mesh_env_ready(4)
-    assert not ge._cpu_mesh_env_ready(9)
-    monkeypatch.setenv("JAX_PLATFORMS", "axon")
-    assert not ge._cpu_mesh_env_ready(1)
-    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
-    monkeypatch.setenv("XLA_FLAGS", "")
-    assert not ge._cpu_mesh_env_ready(1)
+    calls = []
+    monkeypatch.setattr(ge, "_dryrun_in_cpu_subprocess", lambda n: calls.append(n))
+    monkeypatch.setattr(
+        ge, "_dryrun_body",
+        lambda n: (_ for _ in ()).throw(AssertionError("in-process fast path ran")),
+    )
+    ge.dryrun_multichip(8)
+    assert calls == [8]
+
+
+def test_dryrun_multichip_survives_config_api_hijack():
+    """Run the PUBLIC dryrun_multichip(8) in a clean subprocess under the
+    driver's exact failure configuration: env vars say 'CPU mesh ready'
+    (JAX_PLATFORMS=cpu + xla_force_host_platform_device_count=8) but the
+    process's JAX backend is ALREADY initialized with a different device
+    count — the in-process analogue of the axon sitecustomize hijacking
+    jax_platforms through the config API (MULTICHIP_r04 rc=1 regression).
+    A fast path that trusts the env vars asserts 'need 8 devices, have 1';
+    the always-subprocess path must succeed."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = """
+import os
+# Step 1: a sitecustomize-style CONFIG-API platform pin, then backend init at
+# 1 device, BEFORE the env is made to lie.  (Pinned to cpu rather than axon
+# so the test never touches the real TPU; the mechanism — config API beating
+# env vars, backend already initialized — is identical.)
+os.environ.pop("XLA_FLAGS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 1, jax.devices()
+# Step 2: now the env CLAIMS an 8-device CPU mesh, but this process's
+# backend is stuck at 1 device — exactly the driver's configuration.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+from __graft_entry__ import dryrun_multichip
+dryrun_multichip(8)
+"""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-u", "-c", code],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, (
+        f"dryrun under driver-like env failed (rc={proc.returncode})\n"
+        f"stdout:\n{proc.stdout[-4000:]}\nstderr:\n{proc.stderr[-4000:]}"
+    )
+    assert "dryrun_multichip ok" in proc.stdout
 
 
 def test_fused_dp_step_matches_single_device():
