@@ -486,7 +486,12 @@ def _interval_pick(cum, s, vals):
     interval-membership where/sum per channel (see ``_INTERVAL_PICK``).
 
     cum [R,2K] ascending, s [R,S], vals a tuple of [R,2K] tables ->
-    tuple of [R,S] picks, bit-exact vs the count + one-hot form."""
+    tuple of [R,S] picks, bit-exact vs the count + one-hot form.
+
+    Precondition: finite cum and s.  For s = +inf (or NaN anywhere) no
+    interval matches and the pick is 0.0, where the count+clip form would
+    return vals[clip(count, ...)]; all callers mask such rows downstream,
+    so the bit-exactness claim is scoped to finite inputs."""
     ninf = jnp.full_like(cum[:, :1], -jnp.inf)
     lo = jnp.concatenate([ninf, cum[:, :-1]], -1)
     hi = jnp.concatenate([cum[:, :-1], -ninf], -1)

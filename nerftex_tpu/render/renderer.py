@@ -26,7 +26,7 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def chunked_apply(apply_fn, params, inputs, net_chunk: int, remat: bool = False):
+def chunked_apply(apply_fn, params, inputs, net_chunk: int, remat: "bool | str" = False):
     """Evaluate apply_fn(params, *inputs) over the leading axis in
     mini-batches of net_chunk (lax.map keeps peak activation memory at one
     chunk).  inputs: tuple of [N, ...] arrays; outputs concatenated back.
@@ -41,6 +41,11 @@ def chunked_apply(apply_fn, params, inputs, net_chunk: int, remat: bool = False)
     budget was the sine_convert family, half of it remat recompute
     (docs/PERF.md §1.4/§1.5); value/grad-identical to remat=True."""
     n = inputs[0].shape[0]
+    if isinstance(remat, str) and remat != "save_encodings":
+        raise ValueError(
+            f"remat={remat!r}: the only string policy is 'save_encodings' "
+            "(bool for plain on/off)"
+        )
     if remat == "save_encodings":
         body = jax.checkpoint(
             apply_fn,

@@ -33,10 +33,13 @@ def main():
     )
     ap.add_argument(
         "--remat", nargs="?", const=True, default=False,
-        type=lambda s: s if s == "save_encodings" else bool(s),
+        choices=[True, False, "save_encodings"],
+        type=lambda s: {"1": True, "true": True, "0": False, "false": False}
+                       .get(s.lower(), s),
         help="jax.checkpoint the net_chunk bodies (recompute instead of "
              "stacking activations, docs/PERF.md §1); pass "
-             "'save_encodings' to keep encoder outputs saved (§1.5)",
+             "'save_encodings' to keep encoder outputs saved (§1.5); "
+             "unknown values are rejected, not coerced",
     )
     ap.add_argument(
         "--flat-params", action="store_true",

@@ -161,6 +161,19 @@ def test_chunked_apply_equals_direct():
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b2))
 
 
+def test_chunked_apply_rejects_unknown_remat_policy():
+    """A remat-policy typo (e.g. 'save_encoding') must raise, not silently
+    degrade to plain remat=True (ADVICE r4)."""
+    import pytest
+
+    def apply(params, x):
+        return x
+
+    with pytest.raises(ValueError, match="save_encodings"):
+        chunked_apply(apply, {}, (jnp.ones((4, 1)),), net_chunk=8,
+                      remat="save_encoding")
+
+
 def test_losses():
     y = np.array([[0.5, 0.5, 0.5]], np.float32)
     p = np.array([[0.25, 0.5, 0.75]], np.float32)
