@@ -132,6 +132,18 @@ _INTERVAL_PICK = os.environ.get("NERFTEX_INTERVAL_PICK", "1") != "0"
 # NERFTEX_SELK_BARRIER=0 is the kill switch.
 _SELK_BARRIER = os.environ.get("NERFTEX_SELK_BARRIER", "1") != "0"
 
+# Fetch parameter textures with the Pallas one-hot MXU kernel
+# (kernels/tex_gather.py) instead of the XLA row gather.  The gather is the
+# carpet frame's top remaining heavy (~200x off HBM roofline, PERF §2.17)
+# and every XLA re-formulation measured flat-or-worse (§2.18).  Only
+# engages when every channel is exactly byte-valued (8-bit-PNG-derived —
+# build_byte_tableT verifies) and dims are kernel-friendly; falls back to
+# the gather otherwise.  The 4-corner fetch is bit-exact; the downstream
+# /255+lerp can differ from the gather path by <=2 ulp (cross-graph fma
+# contraction, see PARITY.md).  NERFTEX_PALLAS_TEX=0 is the kill switch.
+_PALLAS_TEX = os.environ.get("NERFTEX_PALLAS_TEX", "0") == "1"
+_PALLAS_TEX_ROWS = int(os.environ.get("NERFTEX_PALLAS_TEX_ROWS", "8"))
+
 from nerftex_tpu.instancing.scene import Scene
 from nerftex_tpu.ops.volume import mean_distance
 
@@ -318,9 +330,24 @@ class DeviceScene:
             right_down = np.concatenate([right[:, :, 1:], right[:, :, -1:]], -1)
             quads = np.stack([stack, down, right, right_down], -1)
             self.tex_quads = jnp.asarray(quads)  # [C, W, H, 4]
+            # Byte pair-tables for the Pallas one-hot fetch (built from the
+            # TRUE-dims channels; None disables per-scene when any channel
+            # is not exactly 8-bit-valued or its height is sublane-odd).
+            self.tex_tablesT = None
+            if _PALLAS_TEX:
+                from nerftex_tpu.kernels.tex_gather import build_byte_tableT
+
+                tbs = [build_byte_tableT(c) for c in scene.texture_channels]
+                if all(t is not None for t in tbs) and all(
+                    h % 8 == 0 for (_, h) in self.tex_dims
+                ):
+                    self.tex_tablesT = [
+                        jnp.asarray(t).astype(jnp.bfloat16) for t in tbs
+                    ]
         else:
             self.tex_channels = None
             self.tex_quads = None
+            self.tex_tablesT = None
             self.tex_dims = []
 
         # Aux albedo textures as [M, W, H, 3] (gray -> replicated), mesh_id
@@ -593,6 +620,19 @@ def _sample_channel_quads(quads, uv, dims):
     c0 = q[..., 0] * (1 - fy) + q[..., 1] * fy
     c1 = q[..., 2] * (1 - fy) + q[..., 3] * fy
     return c0 * (1 - fx) + c1 * fx
+
+
+def _fetch_channel(ds, i, uv):
+    """Bilinear parameter-texture fetch for channel i at uv: the Pallas
+    one-hot MXU kernel when the scene's byte tables exist (NERFTEX_PALLAS_TEX,
+    kernels/tex_gather.py), the XLA quad row-gather otherwise."""
+    if getattr(ds, "tex_tablesT", None) is not None:
+        from nerftex_tpu.kernels.tex_gather import sample_channel_quads_pallas
+
+        return sample_channel_quads_pallas(
+            ds.tex_tablesT[i], uv, ds.tex_dims[i], b_rows=_PALLAS_TEX_ROWS
+        )
+    return _sample_channel_quads(ds.tex_quads[i], uv, ds.tex_dims[i])
 
 
 def _sample_channel(channel, uv, dims):
@@ -1399,7 +1439,7 @@ class DeviceInstancer:
                 uv = jnp.einsum("rsk,rskj->rsj", bary_sel, ds.tri_uv[tri_sel])
         if uv is not None:
             for i, slot in enumerate(ds.texture_parameter_idxs):
-                val = _sample_channel_quads(ds.tex_quads[i], uv, ds.tex_dims[i])
+                val = _fetch_channel(ds, i, uv)
                 params_out = params_out.at[..., slot].set(params_out[..., slot] * val)
 
         # lighting ------------------------------------------------------
@@ -1934,7 +1974,7 @@ class DeviceInstancer:
                 uv = jnp.einsum("mk,mkj->mj", bary_sel, ds.tri_uv[tri_sel])
         if uv is not None:
             for i, slot in enumerate(ds.texture_parameter_idxs):
-                val = _sample_channel_quads(ds.tex_quads[i], uv, ds.tex_dims[i])
+                val = _fetch_channel(ds, i, uv)
                 params_out = params_out.at[:, slot].set(params_out[:, slot] * val)
 
         # lighting -------------------------------------------------------

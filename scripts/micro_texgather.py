@@ -161,6 +161,36 @@ def main():
         v, _ = bench("sorted-idx gather", fetch_sorted, (uv, quads_flat), args.reps)
         check_equal("sorted", base, v)
 
+    # ---- group 3: pallas one-hot MXU kernel (byte textures) -------------
+    if "3" in args.groups:
+        from nerftex_tpu.kernels.tex_gather import (
+            build_byte_tableT,
+            sample_channel_quads_pallas,
+        )
+
+        print("-- pallas one-hot kernel (byte texture) --")
+        tex_b = rs.randint(0, 256, (W, H)).astype(np.float32) / np.float32(255.0)
+        right = np.concatenate([tex_b[1:], tex_b[-1:]], 0)
+        down = np.concatenate([tex_b[:, 1:], tex_b[:, -1:]], 1)
+        right_down = np.concatenate([right[:, 1:], right[:, -1:]], 1)
+        quads_b = jax.device_put(
+            jnp.asarray(np.stack([tex_b, down, right, right_down], -1)))
+        quads_b_flat = jnp.reshape(quads_b, (W * H, 4))
+        tbT = jax.device_put(
+            jnp.asarray(build_byte_tableT(tex_b)).astype(jnp.bfloat16))
+        for tier, uv_t in (("S320", uv), ("S128", uv[:, :128])):
+            print(f"  [{tier}]")
+            base, _ = bench("quad 2D gather (base)", fetch_base,
+                            (uv_t, quads_b), args.reps)
+            v, _ = bench("quad flat-row gather", fetch_flat,
+                         (uv_t, quads_b_flat), args.reps)
+            for br in (8, 16, 32):
+                def fn(uv, tbT, br=br):
+                    return sample_channel_quads_pallas(tbT, uv, (W, H), b_rows=br)
+                v, _ = bench(f"pallas onehot b_rows={br}", fn, (uv_t, tbT),
+                             args.reps)
+                check_equal(f"pallas br={br} {tier}", base, v)
+
     # ---- group 2: scaling with S (amortization check) -------------------
     if "2" in args.groups:
         print("-- S=128 tier --")
