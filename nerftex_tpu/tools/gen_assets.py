@@ -147,6 +147,20 @@ def checkerboard_png(size=256, cells=8, smooth=False):
     return encode_png(img[..., None].astype(np.float32))
 
 
+def generate_scale_anchors(out_dir="meshes", n=10000, seed=0):
+    """Dense anchor set for the instance-count scale bench (SURVEY §2.2
+    sizes instance counts at 10^2-10^4; every shipped scene runs ~900).
+    Writes cloth<n>k anchor points over the SAME cloth mesh so the scale
+    config (configs/config_carpet10k_render.py) differs from the carpet
+    north-star only in instance count and patch scale."""
+    os.makedirs(out_dir, exist_ok=True)
+    V, F, _, _ = cloth()
+    anchors = poisson_like_anchors(V, F, n, seed)
+    path = os.path.join(out_dir, f"cloth{n // 1000}k_anchor_points.ply")
+    write_ply(path, anchors)
+    return path
+
+
 def generate(out_dir="meshes", seed=0):
     os.makedirs(out_dir, exist_ok=True)
 
