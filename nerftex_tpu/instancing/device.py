@@ -140,8 +140,10 @@ _SELK_BARRIER = os.environ.get("NERFTEX_SELK_BARRIER", "1") != "0"
 # build_byte_tableT verifies) and dims are kernel-friendly; falls back to
 # the gather otherwise.  The 4-corner fetch is bit-exact; the downstream
 # /255+lerp can differ from the gather path by <=2 ulp (cross-graph fma
-# contraction, see PARITY.md).  NERFTEX_PALLAS_TEX=0 is the kill switch.
-_PALLAS_TEX = os.environ.get("NERFTEX_PALLAS_TEX", "0") == "1"
+# contraction, see PARITY.md).  Default ON since round 5 (in-frame A/B:
+# carpet +13-16%, plush +9.1%, grass +1.3%, PERF §2.20);
+# NERFTEX_PALLAS_TEX=0 is the kill switch.
+_PALLAS_TEX = os.environ.get("NERFTEX_PALLAS_TEX", "1") == "1"
 _PALLAS_TEX_ROWS = int(os.environ.get("NERFTEX_PALLAS_TEX_ROWS", "8"))
 
 from nerftex_tpu.instancing.scene import Scene
