@@ -33,16 +33,36 @@ class RenderSession:
         width: int = None,
         warmup: bool = False,
         render_chunk: int = None,
+        operating_point=None,
     ):
         """render_chunk: rays per device dispatch; defaults to the whole
         frame (one fused program — the config's small training-era chunks
-        cost a round-trip per chunk over the device tunnel)."""
+        cost a round-trip per chunk over the device tunnel).
+
+        operating_point: None (raw config, the pre-round-5 behavior), a
+        scene stem ('carpet'/'grass'/'plush', resolved through
+        nerftex_tpu.operating_points), or a dict with the same shape as an
+        OPERATING_POINTS entry.  Serving at the adopted point closed the
+        ~2x RenderSession-vs-bench gap (VERDICT r4 next #7): the raw
+        configs carry reference-parity render settings, not the measured
+        TPU blocking/cull/bf16 knobs."""
         from nerftex_tpu.utils.cache import enable_compilation_cache
 
         enable_compilation_cache()
 
         config = EasyDict(config)
         rng.set_seed(config.get("seed"))
+
+        if isinstance(operating_point, str):
+            from nerftex_tpu import operating_points
+
+            resolved = operating_points.resolve(operating_point)
+            if resolved is None:
+                raise ValueError(
+                    f"no adopted operating point for scene {operating_point!r}"
+                )
+            operating_point = resolved
+        self.operating_point = operating_point
 
         loader = config.test_dataset_config.data_loader_config
         self.height = height or loader.get("height", 512)
@@ -60,9 +80,17 @@ class RenderSession:
 
         model_config = EasyDict(config.model_config)
         model_config.setdefault("n_parameters", len(self.default_parameters))
+        renderer_config = EasyDict(config.renderer_config)
+        if operating_point:
+            model_config["compute_dtype"] = operating_point.get(
+                "compute_dtype", model_config.get("compute_dtype", "float32"))
+            renderer_config.update(operating_point.get("renderer", {}))
+            renderer_config.instancer_config = EasyDict(
+                renderer_config.instancer_config)
+            renderer_config.instancer_config.update(
+                operating_point.get("instancer", {}))
         self.models = util.instantiate(model_config)
 
-        renderer_config = EasyDict(config.renderer_config)
         renderer_config.update(self.models)
         self.renderer = util.instantiate(renderer_config)
         self.renderer.render_chunk = render_chunk or self.height * self.width
@@ -231,6 +259,11 @@ def main():
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the compile-warming render at startup")
+    ap.add_argument(
+        "--op", default="auto",
+        help="render operating point: 'auto' (infer scene from the config "
+             "name, fall back to raw config), 'none' (raw config), or a "
+             "scene stem from nerftex_tpu.operating_points")
     args = ap.parse_args()
 
     if os.getcwd() not in sys.path:
@@ -238,8 +271,20 @@ def main():
     config_path = args.config[:-3] if args.config.endswith(".py") else args.config
     config = importlib.import_module(config_path.replace("/", ".")).config
 
+    from nerftex_tpu import operating_points
+
+    if args.op == "auto":
+        scene = operating_points.infer_scene(args.config)
+        op = operating_points.resolve(scene) if scene else None
+        print(f"operating point: {scene if op else 'raw config'}")
+    elif args.op == "none":
+        op = None
+    else:
+        op = args.op  # scene stem; RenderSession raises if unknown
+
     session = RenderSession(
-        config, height=args.height, width=args.width, warmup=not args.no_warmup
+        config, height=args.height, width=args.width,
+        warmup=not args.no_warmup, operating_point=op,
     )
     print(f"restored: {session.restored_from}")
     server = HTTPServer(("127.0.0.1", args.port), make_handler(session))

@@ -51,18 +51,34 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from queue_runner import REPO, Queue  # noqa: E402
 
+sys.path.insert(0, REPO)  # nerftex_tpu.operating_points for the presets
+
+def _scene_preset(scene):
+    """bench_scene argv for a scene's ADOPTED operating point
+    (nerftex_tpu/operating_points.py is the single source of truth —
+    VERDICT r4 next #6/#7)."""
+    from nerftex_tpu import operating_points
+
+    flag = {"ray_block": "--block", "max_hits": "--max-hits",
+            "max_steps_per_ray": "--step-cap", "cull_budget": "--cull",
+            "tri_cull_budget": "--tri-cull",
+            "shadow_cull_budget": "--shadow-cull",
+            "shadow_tri_cull_budget": "--shadow-tri-cull"}
+    cmd = ["python", "scripts/bench_scene.py", scene]
+    for k, v in operating_points.resolve(scene)["instancer"].items():
+        cmd += [flag[k], str(v)]
+    return cmd
+
+
 PRESETS = {
     "bench": ["python", "bench.py"],
-    "carpet": ["python", "scripts/bench_scene.py", "carpet", "--block", "1024",
-               "--max-hits", "48", "--step-cap", "320", "--cull", "448"],
-    "grass": ["python", "scripts/bench_scene.py", "grass", "--step-cap", "1024",
-              "--max-hits", "96", "--cull", "512", "--tri-cull", "1024",
-              "--shadow-cull", "512", "--shadow-tri-cull", "2048"],
-    "plush": ["python", "scripts/bench_scene.py", "plush", "--step-cap", "1280",
-              "--max-hits", "128", "--cull", "384", "--tri-cull", "1024",
-              "--shadow-cull", "768", "--shadow-tri-cull", "1536"],
+    "carpet": _scene_preset("carpet"),
+    "carpet10k": _scene_preset("carpet10k"),
+    "grass": _scene_preset("grass"),
+    "plush": _scene_preset("plush"),
 }
-DEFAULT_TIMEOUTS = {"bench": 1200, "carpet": 1200, "grass": 1200, "plush": 1500}
+DEFAULT_TIMEOUTS = {"bench": 1200, "carpet": 1200, "carpet10k": 2400,
+                    "grass": 1200, "plush": 1500}
 
 
 def load_spec(path):

@@ -103,3 +103,57 @@ def test_http_endpoint_roundtrip(session):
             assert "error" in json.loads(e.read())
     finally:
         server.shutdown()
+
+
+def test_operating_point_applied(tmp_path_factory):
+    """RenderSession(operating_point=...) merges the adopted knobs into the
+    instancer/renderer configs and the model compute dtype (VERDICT r4 next
+    #7: serving at raw-config defaults measured ~2x slower than bench)."""
+    from nerftex_tpu.tools import gen_assets as ga
+    import nerftex_tpu.models.mlp as mlp_mod
+    from configs.config_carpet_render import config as full
+    from nerftex_tpu.render.serve import RenderSession
+
+    assets = str(tmp_path_factory.mktemp("meshes"))
+    ga.generate(assets, seed=0)
+    rng.set_seed(0)
+    mlp_mod._INIT_COUNTER[0] = 0
+
+    cfg = copy.deepcopy(full)
+    cfg["target_path"] = str(tmp_path_factory.mktemp("logs"))
+    cfg["renderer_config"]["instancer_config"].update(
+        {
+            "textures": [os.path.join(assets, "smooth_checkerboard.png"), "", "", "", "light"],
+            "mesh_path": os.path.join(assets, "cloth_mesh.ply"),
+            "patch_origins_path": os.path.join(assets, "cloth_anchor_points.ply"),
+        }
+    )
+    cfg["renderer_config"].update({"n_samples": 128})
+    cfg["model_config"].update({"depth": 2, "width": 32, "skips": [1]})
+
+    op = {
+        "compute_dtype": "bfloat16",
+        "renderer": {"sorted_blocks": True},
+        "instancer": {"ray_block": 64, "max_hits": 16, "max_steps_per_ray": 64},
+    }
+    s = RenderSession(cfg, height=16, width=16, operating_point=op)
+    assert s.renderer.sorted_blocks is True
+    assert s.renderer.instancer.device.max_hits == 16
+    img = s.render([0.47, -0.65, 0.6])
+    assert img.shape == (16, 16, 4)
+    assert np.isfinite(img).all()
+
+    with pytest.raises(ValueError, match="no adopted operating point"):
+        RenderSession(cfg, height=16, width=16, operating_point="nonsense")
+
+
+def test_operating_points_registry():
+    from nerftex_tpu import operating_points as opp
+
+    for scene in ("carpet", "grass", "plush", "carpet10k", "fur"):
+        op = opp.resolve(scene)
+        assert op and "instancer" in op, scene
+    assert opp.resolve("nope") is None
+    assert opp.infer_scene("configs/config_carpet_render.py") == "carpet"
+    assert opp.infer_scene("configs.config_grass_filtered_render") == "grass_filtered"
+    assert opp.infer_scene("weird.py") is None
