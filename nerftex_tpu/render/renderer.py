@@ -26,10 +26,21 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def chunked_apply(apply_fn, params, inputs, net_chunk: int, remat: "bool | str" = False):
+def chunked_apply(apply_fn, params, inputs, net_chunk: int, remat: "bool | str" = False,
+                  unroll: int = 1):
     """Evaluate apply_fn(params, *inputs) over the leading axis in
-    mini-batches of net_chunk (lax.map keeps peak activation memory at one
-    chunk).  inputs: tuple of [N, ...] arrays; outputs concatenated back.
+    mini-batches of net_chunk (a chunk scan keeps peak activation memory at
+    one chunk).  inputs: tuple of [N, ...] arrays; outputs concatenated back.
+
+    unroll>1 unrolls the chunk scan (lax.scan unroll): in the TRANSPOSE,
+    each scan iteration adds every parameter leaf's chunk gradient into the
+    carry as its own tiny fusion — 13.2% of the train step was these
+    overhead-bound [256,256] accumulates (docs/PERF.md §1.6, 12 us/exec at
+    a 1 us roofline).  Unrolling lets XLA chain k accumulates per loop trip
+    and amortize the fusion overhead.  The adds keep their sequential
+    association, but XLA fuses the unrolled body differently (fma
+    contraction), so grads match unroll=1 to ~1 ulp rather than
+    bit-exactly (tests/test_flat_params.py pins the tolerance).
 
     remat=True wraps the chunk body in jax.checkpoint: backward recomputes
     the chunk's activations instead of stacking every layer into
@@ -67,7 +78,10 @@ def chunked_apply(apply_fn, params, inputs, net_chunk: int, remat: "bool | str" 
     )
     stacked = tuple(x.reshape((n_pad // net_chunk, net_chunk) + x.shape[1:]) for x in padded)
 
-    outs = jax.lax.map(lambda xs: body(params, *xs), stacked)
+    _, outs = jax.lax.scan(
+        lambda carry, xs: (carry, body(params, *xs)),
+        None, stacked, unroll=max(1, int(unroll)),
+    )
     outs = jax.tree.map(lambda o: o.reshape((n_pad,) + o.shape[2:])[:n], outs)
     return outs
 
@@ -91,6 +105,7 @@ class Renderer:
         blur_idx: int = None,
         map_exr: bool = False,
         remat_net_chunks=False,  # False | True | "save_encodings"
+        net_chunk_unroll: int = 1,
         **kwargs,
     ) -> None:
         self.model = model
@@ -108,6 +123,8 @@ class Renderer:
         # activations instead of stacking them across the lax.map (trades
         # one extra MLP forward for the 36%-of-step DUS traffic, PERF.md §1).
         self.remat_net_chunks = remat_net_chunks
+        # Chunk-scan unroll factor (chunked_apply docstring; PERF.md §1.6).
+        self.net_chunk_unroll = int(net_chunk_unroll)
         self._call_counter = 0
         self._jit_cache = {}
 
@@ -234,6 +251,7 @@ class Renderer:
         color, density = chunked_apply(
             model.apply, model_params, (pos_flat, dirs_flat, params_flat),
             self.net_chunk, remat=self.remat_net_chunks,
+            unroll=self.net_chunk_unroll,
         )
         return color.reshape(r, s, 3), density.reshape(r, s)
 

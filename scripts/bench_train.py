@@ -42,6 +42,12 @@ def main():
              "unknown values are rejected, not coerced",
     )
     ap.add_argument(
+        "--unroll", type=int, default=1,
+        help="net-chunk scan unroll factor (renderer net_chunk_unroll, "
+             "docs/PERF.md §1.6: amortizes the per-chunk per-leaf gradient-"
+             "accumulate fusion overhead; grads match unroll=1 to ~1 ulp)",
+    )
+    ap.add_argument(
         "--flat-params", action="store_true",
         help="single flat theta per model: one wide grad accumulate + one "
              "fused Adam chain instead of per-leaf small ops (docs/PERF.md "
@@ -75,6 +81,7 @@ def main():
         "module": "network.renderer.Renderer",
         "n_samples": 256, "render_chunk": 32768, "net_chunk": args.net_chunk,
         "remat_net_chunks": args.remat,
+        "net_chunk_unroll": args.unroll,
         "perturb": True, "raw_noise_std": 0.0, **models,
     }))
     loss_fn = util.instantiate(EasyDict({

@@ -225,3 +225,46 @@ def test_resume_switching_layouts_both_ways(tmp_path):
     assert len(leaves) > 1
     for leaf in leaves:
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_net_chunk_unroll_matches_to_ulp():
+    """net_chunk_unroll only unrolls the chunk scan (renderer.chunked_apply):
+    the transpose's per-leaf gradient accumulates keep their sequential
+    association, but XLA fuses the unrolled body differently (fma
+    contraction — same family as the PARITY.md cross-graph notes), so
+    trained params match the rolled scan to ~1 ulp, not bit-exactly.  The
+    FIRST forward (before any update) is bit-identical (docs/PERF.md §1.6)."""
+    models_ref = _models()
+    params_ref, losses_ref = _run_steps(models_ref, remat="save_encodings",
+                                        net_chunk=256)
+
+    models_u = _models()
+
+    def _run_unrolled(models, n=3):
+        renderer = Renderer(
+            n_samples=16, net_chunk=256, remat_net_chunks="save_encodings",
+            perturb=True, net_chunk_unroll=4, **models,
+        )
+        loss_fn = AlphaLoss(loss_fn="network.loss.smape",
+                            alpha_loss_fn="network.loss.mse")
+        optimizer = make_optimizer(5e-3, 500)
+        step = make_train_step(renderer, loss_fn, optimizer, False, [1, 1, 1.0],
+                               donate=False)
+        params = {name: m.params for name, m in models.items()}
+        opt_state = optimizer.init(params)
+        losses = []
+        batch = _batch()
+        for i in range(n):
+            params, opt_state, loss = step(params, opt_state, batch,
+                                           jax.random.key(i))
+            losses.append(float(loss))
+        return params, losses
+
+    params_u, losses_u = _run_unrolled(models_u)
+    # First step's loss is computed before any divergent update: bit-equal.
+    assert losses_u[0] == losses_ref[0]
+    np.testing.assert_allclose(losses_u, losses_ref, rtol=1e-5, atol=0)
+    for a, b in zip(jax.tree.leaves(params_u), jax.tree.leaves(params_ref)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-5, atol=1e-6)
