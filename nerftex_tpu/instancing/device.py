@@ -146,6 +146,17 @@ _SELK_BARRIER = os.environ.get("NERFTEX_SELK_BARRIER", "1") != "0"
 _PALLAS_TEX = os.environ.get("NERFTEX_PALLAS_TEX", "1") == "1"
 _PALLAS_TEX_ROWS = int(os.environ.get("NERFTEX_PALLAS_TEX_ROWS", "8"))
 
+# Evaluate the whole overlap-resolution chain (active -> fallback -> method
+# pick -> blend probability) in one Pallas VPU kernel
+# (kernels/selk_resolve.py) instead of the barrier-split XLA fusion chain:
+# K rides sublanes, S rides lanes, and no [Rb,S,K]-shaped intermediate ever
+# touches HBM (the XLA chain materializes several at ~335 MB each on the
+# plush S=320/K=128 tier — PERF §2.17/§2.18).  sel_k can flip vs XLA only
+# on ~1e-6 cum/dist knife edges (different reduce/cumsum association —
+# tests/test_selk_kernel.py pins this); grid-path golden checks pin the
+# in-frame result.  Default OFF pending the round-5d in-frame A/B.
+_PALLAS_SELK = os.environ.get("NERFTEX_PALLAS_SELK", "0") == "1"
+
 from nerftex_tpu.instancing.scene import Scene
 from nerftex_tpu.ops.volume import mean_distance
 
@@ -1337,6 +1348,32 @@ class DeviceInstancer:
         pts_w = rays_o[:, None, :] + rays_d[:, None, :] * t_pt[..., None]  # [Rb,S,3]
 
         # overlap resolution -------------------------------------------
+        u_sel = jax.random.uniform(key, (Rb, S))
+        method = ds.instance_sampling_method
+        if method not in ("random", "nearest", "nearest_blend"):
+            raise ValueError(f"unknown instance_sampling_method {method}")
+        if _PALLAS_SELK:
+            from nerftex_tpu.kernels.selk_resolve import selk_resolve
+
+            sel_k, p_sel, n_active = selk_resolve(
+                ray["tk0"], ray["tk1"], ray["kvalid"],
+                ray.get("sel_a"), ray.get("sel_b"), t_pt, u_sel,
+                method=method,
+                blend_range=float(ds.nearest_blend_range),
+            )
+            if method == "random":
+                weight = n_active.astype(jnp.float32)
+            elif method == "nearest":
+                weight = jnp.ones((Rb, S), jnp.float32)
+            else:
+                weight = 1.0 / jnp.maximum(p_sel, 1e-20)
+            weight = jnp.where(n_active == 1, 1.0, weight)
+            oh = sel_k[..., None] == jnp.arange(K)[None, None, :]    # [Rb,S,K]
+            return self._per_sample_grid_tail(
+                ray, rays_o, rays_d, parameters, oh, weight,
+                s_arc, t_mu, pts_w,
+            )
+
         tk0 = ray["tk0"][:, None, :]                                 # [Rb,1,K]
         tk1 = ray["tk1"][:, None, :]
         kvalid = ray["kvalid"][:, None, :]
@@ -1352,8 +1389,6 @@ class DeviceInstancer:
             active = jax.lax.optimization_barrier(active)
         n_active = jnp.maximum(n_active, 1)
 
-        u_sel = jax.random.uniform(key, (Rb, S))
-        method = ds.instance_sampling_method
         if method == "random":
             target = jnp.minimum(jnp.floor(u_sel * n_active).astype(jnp.int32), n_active - 1)
             rank = jnp.cumsum(active, -1) - 1
@@ -1393,6 +1428,19 @@ class DeviceInstancer:
             p_sel = _onehot_pick1(oh, prob)
             weight = 1.0 / jnp.maximum(p_sel, 1e-20)
         weight = jnp.where(n_active == 1, 1.0, weight)
+
+        return self._per_sample_grid_tail(
+            ray, rays_o, rays_d, parameters, oh, weight, s_arc, t_mu, pts_w
+        )
+
+    def _per_sample_grid_tail(self, ray, rays_o, rays_d, parameters, oh,
+                              weight, s_arc, t_mu, pts_w):
+        """Everything downstream of the overlap pick (shared by the XLA and
+        Pallas sel_k paths): instance/table one-hot selects, local
+        transforms, texture parameters, lighting."""
+        ds = self.ds
+        Rb, S, K = oh.shape
+        P = parameters.shape[-1]
 
         inst_h = ray["inst_idx"]                                     # [Rb,K]
         inst = _onehot_pick1(oh, inst_h)                             # [Rb,S]

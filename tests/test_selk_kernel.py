@@ -154,3 +154,80 @@ def test_selk_kernel_padding_independence():
     alt = selk_resolve(*args, method="nearest", interpret=True, bs=256, b_rays=16)
     for a, b in zip(full, alt):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.fixture(scope="module")
+def assets(tmp_path_factory):
+    from nerftex_tpu.tools import gen_assets
+
+    out = tmp_path_factory.mktemp("meshes")
+    gen_assets.generate(str(out), seed=0)
+    return str(out)
+
+
+@pytest.mark.parametrize("method", ["nearest", "nearest_blend", "random"])
+def test_instancer_grid_path_parity(assets, method, monkeypatch):
+    """NERFTEX_PALLAS_SELK gate ON vs OFF through the real DeviceInstancer
+    grid path on the cloth scene.  'nearest'/'random' picks are exact
+    (order-independent min / integer-valued cumsum), so every output must
+    match bit-for-bit up to cross-graph fma noise; 'nearest_blend' may flip
+    on ~ulp cum knife edges, so only a vanishing mismatch fraction is
+    allowed and matched samples must agree."""
+    import os
+
+    from nerftex_tpu.instancing import device as device_mod
+    from nerftex_tpu.instancing.device import DeviceInstancer
+    from nerftex_tpu.instancing.scene import Scene
+
+    rs = np.random.RandomState(0)
+    n_rays = 16
+    rays_o = np.concatenate(
+        [rs.uniform(-0.5, 0.5, (n_rays, 2)), np.full((n_rays, 1), 4.0)], -1
+    ).astype(np.float32)
+    rays_d = np.tile(np.array([0, 0, -1.0], np.float32), (n_rays, 1))
+    params = np.tile(np.array([1.0], np.float32), (n_rays, 1))
+
+    outs = {}
+    for flag in (False, True):
+        monkeypatch.setattr(device_mod, "_PALLAS_SELK", flag)
+        scene = Scene(
+            b_0=[-1.4, -1.2, -0.1],
+            b_1=[1.2, 1.2, 1.8],
+            textures=("",),
+            instance_sampling_method=method,
+            seed=0,
+        )
+        scene.distribute_instances_on_mesh(
+            os.path.join(assets, "cloth_mesh.ply"), 0.09,
+            os.path.join(assets, "cloth_anchor_points.ply"),
+        )
+        dev = DeviceInstancer(scene, max_hits=32, ray_block=16)
+        out = dev.get_model_input(rays_o, rays_d, params, 64, 0.04)
+        outs[flag] = {k: np.asarray(v) for k, v in out.items()}
+
+    a, b = outs[False], outs[True]
+    assert sorted(a) == sorted(b)
+    assert a["hit"].any()
+    inst_a, inst_b = a["instance_id"], b["instance_id"]
+    mism = inst_a != inst_b
+    if method in ("nearest", "random"):
+        assert not mism.any(), f"{method}: exact pick diverged"
+    else:
+        assert mism.mean() < 1e-2, f"blend flips too common: {mism.mean()}"
+    ok = ~mism
+    for k in sorted(a):
+        if a[k].dtype.kind == "f":
+            av, bv = a[k], b[k]
+            m = ok
+            while m.ndim < av.ndim:
+                m = m[..., None]
+            m = np.broadcast_to(m, av.shape) if av.shape[:ok.ndim] == ok.shape else np.ones_like(av, bool)
+            # nearest_blend's prob normalization (w / sum_K w) associates
+            # differently in the kernel's sublane reduce -> ~1e-4 relative
+            # noise on the blend weight; exact methods match to fp noise.
+            rtol = 1e-3 if method == "nearest_blend" else 1e-5
+            np.testing.assert_allclose(
+                av[m], bv[m], atol=1e-5, rtol=rtol, err_msg=k
+            )
+        elif k != "instance_id":
+            assert np.array_equal(a[k], b[k]), k
