@@ -12,13 +12,16 @@ between the fusions it refuses to merge (each is ~335 MB of traffic), and
 the K-axis cumsum serializes what remains.
 
 This kernel evaluates the WHOLE chain in VMEM with nothing [Rb,S,K]-shaped
-ever touching HBM: inputs are the per-hit tables ([Rb,K] -> transposed
-[K,Rb] once per block in XLA) plus the per-sample t/u planes ([Rb,S]);
-outputs are the three [Rb,S] planes the caller actually uses (sel_k,
-p_sel, n_active).  Layout: K rides SUBLANES, S rides LANES, so the
-K-reductions are sublane reduces and the K-cumsum is a log2(K)
-shift-masked-add scan (`pltpu.roll`) — no gathers, no MXU needed, pure
-VPU at ~15 ops per (sample, hit) element.
+ever touching HBM.  Layout (Mosaic requires every block's lane dim to be a
+multiple of 128 or the full array dim): RAYS ride LANES in 128-wide
+columns, K rides SUBLANES (full-dim blocks, so any K works), and SAMPLES
+are the short unrolled row loop per program.  Inputs are the per-hit
+tables ([Rb,K] -> transposed [K,Rb] once per block in XLA) plus the
+per-sample t/u planes (transposed to [S,Rb]); outputs are the three
+[S,Rb] planes the caller transposes back.  K-reductions are sublane
+reduces and the K-cumsum is a log2(K) shift-masked-add scan
+(`pltpu.roll`) — no gathers, no MXU needed, pure VPU at ~15 ops per
+(sample, hit) element.
 
 Numerics vs the XLA chain: every elementwise op is written identically;
 reductions (min/sum) and the Hillis-Steele cumsum associate differently
@@ -66,26 +69,32 @@ def _first_where(cond, iota_k, k):
     return jnp.min(jnp.where(cond, iota_k, k), axis=0, keepdims=True)
 
 
-def _selk_kernel(method, blend_range, b_rays,
+def _selk_kernel(method, blend_range, s_rows,
                  tk0_ref, tk1_ref, kv_ref, sa_ref, sb_ref, t_ref, u_ref,
                  sel_ref, p_ref, n_ref):
-    K = tk0_ref.shape[0]
-    iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, t_ref.shape[1]), 0)
+    K, RL = tk0_ref.shape
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (K, RL), 0)
     inf = jnp.float32(np.inf)
-    for j in range(b_rays):
-        t = t_ref[j : j + 1, :]                              # [1, bs]
-        u = u_ref[j : j + 1, :]
-        tk0 = tk0_ref[:, j : j + 1]                          # [K, 1]
-        tk1 = tk1_ref[:, j : j + 1]
-        valid = kv_ref[:, j : j + 1] != 0
+    tk0 = tk0_ref[:, :]                                      # [K, RL]
+    tk1 = tk1_ref[:, :]
+    valid = kv_ref[:, :] != 0
+    if method != "random":
+        sa = sa_ref[:, :]
+        sb2 = 2.0 * sb_ref[:, :]
+    for s in range(s_rows):
+        t = t_ref[s : s + 1, :]                              # [1, RL]
+        u = u_ref[s : s + 1, :]
         # active intervals ------------------------------------------------
-        act = valid & (tk0 <= t) & (t < tk1)                 # [K, bs]
+        act = valid & (tk0 <= t) & (t < tk1)                 # [K, RL]
         n_act = jnp.sum(act.astype(jnp.int32), 0, keepdims=True)
         iv = jnp.maximum(tk0 - t, t - tk1)
         iv = jnp.where(valid, jnp.maximum(iv, 0.0), inf)
         min_iv = jnp.min(iv, 0, keepdims=True)
-        fk = _first_where(iv == min_iv, iota_k, K)           # [1, bs]
-        act = jnp.where(n_act == 0, iota_k == fk, act)
+        fk = _first_where(iv == min_iv, iota_k, K)           # [1, RL]
+        # Boolean algebra instead of jnp.where on bools: Mosaic can't lower
+        # select_n to an i1 vector (i8->i1 truncation unsupported).
+        no_act = n_act == 0
+        act = (act & ~no_act) | ((iota_k == fk) & no_act)
         n_out = jnp.maximum(n_act, 1)
 
         if method == "random":
@@ -97,7 +106,7 @@ def _selk_kernel(method, blend_range, b_rays,
             sel = _first_where(act & (rank == target), iota_k, K)
             p = jnp.zeros_like(u)
         else:
-            d2 = sa_ref[:, j : j + 1] + 2.0 * t * sb_ref[:, j : j + 1] + t * t
+            d2 = sa + t * sb2 + t * t
             d2 = jnp.where(act, jnp.maximum(d2, 0.0), inf)
             if method == "nearest":
                 min_d2 = jnp.min(d2, 0, keepdims=True)
@@ -116,28 +125,31 @@ def _selk_kernel(method, blend_range, b_rays,
                 p = jnp.sum(
                     jnp.where(iota_k == sel, prob, 0.0), 0, keepdims=True
                 )
-        sel_ref[j : j + 1, :] = jnp.clip(sel, 0, K - 1)
-        p_ref[j : j + 1, :] = p
-        n_ref[j : j + 1, :] = n_out
+        sel_ref[s : s + 1, :] = jnp.clip(sel, 0, K - 1)
+        p_ref[s : s + 1, :] = p
+        n_ref[s : s + 1, :] = n_out
 
 
 @functools.partial(jax.jit, static_argnums=(7, 8, 9, 10, 11))
 def _selk_call(tk0T, tk1T, kvT, saT, sbT, t_p, u_p,
-               method, blend_range, b_rays, bs, interpret):
+               method, blend_range, s_rows, lanes, interpret):
     K, rb = tk0T.shape
-    s_pad = t_p.shape[1]
-    kernel = functools.partial(_selk_kernel, method, blend_range, b_rays)
-    tab = pl.BlockSpec((K, b_rays), lambda r, s: (0, r), memory_space=pltpu.VMEM)
-    plane = pl.BlockSpec((b_rays, bs), lambda r, s: (r, s), memory_space=pltpu.VMEM)
+    s_pad = t_p.shape[0]
+    kernel = functools.partial(_selk_kernel, method, blend_range, s_rows)
+    # Grid order (ray-cols, s-rows): the inner s loop revisits the same
+    # table block, so Mosaic keeps it VMEM-resident across the S sweep.
+    tab = pl.BlockSpec((K, lanes), lambda c, s: (0, c), memory_space=pltpu.VMEM)
+    plane = pl.BlockSpec((s_rows, lanes), lambda c, s: (s, c),
+                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(rb // b_rays, s_pad // bs),
+        grid=(rb // lanes, s_pad // s_rows),
         in_specs=[tab, tab, tab, tab, tab, plane, plane],
         out_specs=[plane, plane, plane],
         out_shape=[
-            jax.ShapeDtypeStruct((rb, s_pad), jnp.int32),
-            jax.ShapeDtypeStruct((rb, s_pad), jnp.float32),
-            jax.ShapeDtypeStruct((rb, s_pad), jnp.int32),
+            jax.ShapeDtypeStruct((s_pad, rb), jnp.int32),
+            jax.ShapeDtypeStruct((s_pad, rb), jnp.float32),
+            jax.ShapeDtypeStruct((s_pad, rb), jnp.int32),
         ],
         interpret=interpret,
     )(tk0T, tk1T, kvT, saT, sbT, t_p, u_p)
@@ -145,7 +157,7 @@ def _selk_call(tk0T, tk1T, kvT, saT, sbT, t_p, u_p,
 
 def selk_resolve(tk0, tk1, kvalid, sel_a, sel_b, t_pt, u_sel,
                  method="nearest_blend", blend_range=0.0,
-                 b_rays=8, bs=128, interpret=None):
+                 s_rows=8, lanes=128, interpret=None):
     """Fused overlap resolution: per-hit tables [Rb,K] + per-sample planes
     [Rb,S] -> (sel_k i32, p_sel f32, n_active i32), all [Rb,S].
 
@@ -159,8 +171,8 @@ def selk_resolve(tk0, tk1, kvalid, sel_a, sel_b, t_pt, u_sel,
         interpret = jax.default_backend() not in ("tpu", "axon")
     rb, K = tk0.shape
     S = t_pt.shape[1]
-    rb_pad = _round_up(rb, b_rays)
-    s_pad = _round_up(S, bs)
+    rb_pad = _round_up(rb, lanes)
+    s_pad = _round_up(S, s_rows)
 
     def pad_tab(x, fill):
         x = jnp.asarray(x)
@@ -171,12 +183,12 @@ def selk_resolve(tk0, tk1, kvalid, sel_a, sel_b, t_pt, u_sel,
         return x.T  # [K, rb_pad]
 
     def pad_plane(x):
-        x = jnp.asarray(x, jnp.float32)
+        x = jnp.asarray(x, jnp.float32).T  # [S, rb]
         if rb_pad > rb:
-            x = jnp.concatenate([x, jnp.zeros((rb_pad - rb, S), x.dtype)], 0)
+            x = jnp.concatenate([x, jnp.zeros((S, rb_pad - rb), x.dtype)], 1)
         if s_pad > S:
             x = jnp.concatenate(
-                [x, jnp.zeros((rb_pad, s_pad - S), x.dtype)], 1
+                [x, jnp.zeros((s_pad - S, rb_pad), x.dtype)], 0
             )
         return x
 
@@ -191,6 +203,6 @@ def selk_resolve(tk0, tk1, kvalid, sel_a, sel_b, t_pt, u_sel,
         pad_tab(sb, 0.0),
         pad_plane(t_pt),
         pad_plane(u_sel),
-        method, float(blend_range), b_rays, bs, bool(interpret),
+        method, float(blend_range), s_rows, lanes, bool(interpret),
     )
-    return sel[:rb, :S], p[:rb, :S], n[:rb, :S]
+    return sel[:S, :rb].T, p[:S, :rb].T, n[:S, :rb].T

@@ -32,10 +32,22 @@ class FourierFeatures:
         return in_dim * (2 * self.n_freq_bands + 1)
 
     def __call__(self, x):
+        parts = self.parts(x)
+        if len(parts) == 1:
+            return parts[0]
+        return jnp.concatenate(parts, -1)
+
+    def parts(self, x):
+        """The encoding as unconcatenated blocks [x, sin(xs), cos(xs)].
+
+        Concatenation-free consumers (mlp._dense_cat splits the first
+        dense by rows) skip the [N, d(2n+1)]-wide concat materialization
+        and its lane padding; the blocks are in concat order, so weights
+        are layout-identical either way."""
         x = jnp.asarray(x)
         n = self.n_freq_bands
         if n == 0:
-            return x
+            return [x]
         d = x.shape[-1]
         # Frequency ladder as one [d, n*d] matmul: xs[:, k*d+j] = 2^k x[:, j].
         # (A broadcast-and-reshape builds an [N, n, d] intermediate whose
@@ -43,7 +55,7 @@ class FourierFeatures:
         # natively.)
         lift = _freq_lift(n, d, x.dtype)
         xs = x @ lift
-        return jnp.concatenate([x, jnp.sin(xs), jnp.cos(xs)], -1)
+        return [x, jnp.sin(xs), jnp.cos(xs)]
 
 
 class IntegratedPositionalEncoding:
@@ -58,6 +70,11 @@ class IntegratedPositionalEncoding:
         return 6 * self.n_freq_bands
 
     def __call__(self, x):
+        return jnp.concatenate(self.parts(x), -1)
+
+    def parts(self, x):
+        """[E sin, E cos] blocks in concat order (see FourierFeatures.parts);
+        elementwise identical to the concatenated form."""
         x = jnp.asarray(x)
         n = self.n_freq_bands
 
@@ -65,10 +82,7 @@ class IntegratedPositionalEncoding:
         lift = _freq_lift(n, 3, x.dtype)
         y = jnp.reshape(x[..., :3], (-1, 3)) @ lift
         y_var = jnp.reshape(x[..., 3:], (-1, 3)) @ (lift * lift)
-
-        z = jnp.concatenate([y, y + 0.5 * pi], axis=-1)
-        z_var = jnp.concatenate([y_var, y_var], axis=-1)
-        return expected_sin(z, z_var)
+        return [expected_sin(y, y_var), expected_sin(y + 0.5 * pi, y_var)]
 
 
 def expected_sin(x, x_var):

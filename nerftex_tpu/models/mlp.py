@@ -15,6 +15,7 @@ through it and renderers jit it.  Heads emit raw logits; sigmoid/elu mapping
 happens in the renderer (renderer.py:182-187), as in the reference.
 """
 
+import os
 from typing import Union
 
 import jax
@@ -29,6 +30,17 @@ from nerftex_tpu.utils import rng
 # distinct-but-deterministic init keys under one global seed.
 _INIT_COUNTER = [0]
 
+# Feed encoder outputs to the consumer denses as unconcatenated BLOCKS
+# ([x, sin(xs), cos(xs)] from FourierFeatures.parts) instead of one
+# concatenated [N, d(2n+1)] tensor: _dense_cat already splits every dense
+# by weight rows, so the encoding concat — a lane-padded materialization
+# (51 -> 128 lanes at the carpet dims) in PERF.md §1.4's
+# sine_convert_fusion family — never needs to exist.  Weight layout is
+# unchanged (blocks are in concat order), so checkpoints transfer; partial
+# sums associate differently than the concat matmul (~1 ulp, same family
+# as _dense_cat itself).  Default OFF pending the round-5 train A/B.
+_ENC_PARTS = os.environ.get("NERFTEX_ENC_PARTS", "0") == "1"
+
 
 def _enc(x):
     """Tag an encoder output for the remat policy (renderer.chunked_apply
@@ -37,6 +49,14 @@ def _enc(x):
     the forward and NOT recomputed in the backward, while dense-layer
     activations still remat.  A no-op for every other remat setting."""
     return checkpoint_name(x, "encoding")
+
+
+def _enc_blocks(fm, x, cdt):
+    """Encoder output as a list of checkpoint-tagged blocks (see
+    _ENC_PARTS); falls back to the single concatenated tensor."""
+    if _ENC_PARTS and hasattr(fm, "parts"):
+        return [_enc(q.astype(cdt)) for q in fm.parts(x)]
+    return [_enc(fm(x).astype(cdt))]
 
 
 def _next_init_key():
@@ -145,18 +165,18 @@ def Nerf(
 
     def apply(p, pos, dirs, prms):
         del prms
-        pos_map = _enc(pos_fm(pos).astype(cdt))
-        dir_map = _enc(dir_fm(dirs).astype(cdt))
+        pos_maps = _enc_blocks(pos_fm, pos, cdt)
+        dir_maps = _enc_blocks(dir_fm, dirs, cdt)
 
         # Wide concats (skip join, direction join) stay virtual: each
         # consumer dense runs as split partial matmuls (_dense_cat).
-        parts = [pos_map]
+        parts = list(pos_maps)
         for i in range(depth):
             h = jax.nn.relu(_dense_cat(p["trunk"][i], parts, cdt))
-            parts = [pos_map, h] if i in skips else [h]
+            parts = pos_maps + [h] if i in skips else [h]
         density = _dense_cat(p["alpha"], parts, cdt)
         h = _dense_cat(p["bottleneck"], parts, cdt)
-        h = jax.nn.relu(_dense_cat(p["pre_color"], [dir_map, h], cdt))
+        h = jax.nn.relu(_dense_cat(p["pre_color"], dir_maps + [h], cdt))
         color = _dense(p["color"], h, cdt)
         return color.astype(jnp.float32), density.astype(jnp.float32)
 
@@ -249,24 +269,31 @@ def ParamNerf(
         # concat-then-dense layers (model.py:88-104) are mathematically
         # identical, but materializing [N, 300+]-wide activation concats was
         # the top HBM cost inside the render MLP loop on TPU.
-        pos_parts = [_enc(pos_fm(pos).astype(cdt))]
-        dir_parts = [_enc(dir_fm(dirs).astype(cdt))]
+        pos_parts = _enc_blocks(pos_fm, pos, cdt)
+        dir_parts = _enc_blocks(dir_fm, dirs, cdt)
 
         if extra_fm is not None:
             emb_in = jnp.concatenate([pos, prms], -1) if include_param_dims else pos
-            pos_parts.append(_enc(extra_fm(emb_in).astype(cdt)))
+            pos_parts.extend(_enc_blocks(extra_fm, emb_in, cdt))
 
         if n_geo > 0:
-            g = _enc(param_fm(prms[:, :n_geo]).astype(cdt))
-            for layer in p["param_geo"]:
-                g = jax.nn.relu(_dense(layer, g, cdt))
-            pos_parts.append(g)
+            if p["param_geo"]:
+                # A param MLP consumes the encoding as one tensor.
+                g = _enc(param_fm(prms[:, :n_geo]).astype(cdt))
+                for layer in p["param_geo"]:
+                    g = jax.nn.relu(_dense(layer, g, cdt))
+                pos_parts.append(g)
+            else:
+                pos_parts.extend(_enc_blocks(param_fm, prms[:, :n_geo], cdt))
 
         if n_app > 0:
-            a = _enc(param_fm(prms[:, n_geo:]).astype(cdt))
-            for layer in p["param_app"]:
-                a = jax.nn.relu(_dense(layer, a, cdt))
-            dir_parts.append(a)
+            if p["param_app"]:
+                a = _enc(param_fm(prms[:, n_geo:]).astype(cdt))
+                for layer in p["param_app"]:
+                    a = jax.nn.relu(_dense(layer, a, cdt))
+                dir_parts.append(a)
+            else:
+                dir_parts.extend(_enc_blocks(param_fm, prms[:, n_geo:], cdt))
 
         parts = list(pos_parts)
         for i in range(depth):

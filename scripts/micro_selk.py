@@ -19,8 +19,8 @@ import time
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=10)
-    ap.add_argument("--b-rays", type=int, default=8)
-    ap.add_argument("--bs", type=int, default=128)
+    ap.add_argument("--s-rows", type=int, default=8)
+    ap.add_argument("--lanes", type=int, default=128)
     args = ap.parse_args()
 
     import numpy as np
@@ -72,7 +72,7 @@ def main():
             def ker_fn(*a):
                 return selk_resolve(
                     *a, method=method, blend_range=0.15,
-                    b_rays=args.b_rays, bs=args.bs,
+                    s_rows=args.s_rows, lanes=args.lanes,
                 )
 
             o_x, dt_x = bench("xla chain", xla_fn, ins, args.reps)

