@@ -108,6 +108,17 @@ class RenderSession:
             for name, model in self.models.items():
                 if name in saved.get("models", {}):
                     model.params = saved["models"][name]
+        else:
+            # Serving random-init weights is almost never intended, and the
+            # init draws from the GLOBAL numpy stream — a second session in
+            # the same process renders a *different* random frame, which
+            # reads as nondeterminism in A/B comparisons.
+            print(
+                f"WARNING: RenderSession found no checkpoint under "
+                f"{os.path.join(source, 'checkpoints')!r}; serving "
+                f"random-init weights.",
+                flush=True,
+            )
         self.restored_from = manager.latest_checkpoint
 
         self._focal = self.width / np.tan(self.angle / 2) / 2
