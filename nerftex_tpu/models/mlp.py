@@ -180,7 +180,11 @@ def Nerf(
         color = _dense(p["color"], h, cdt)
         return color.astype(jnp.float32), density.astype(jnp.float32)
 
-    return {name: Model(name, params, apply)}
+    model = Model(name, params, apply)
+    # Consumers that hoist the param->compute cast out of chunk scans
+    # (renderer.chunked_apply cast_params) read the dtype from here.
+    model.compute_dtype = cdt
+    return {name: model}
 
 
 def CoarseFine(model_config: EasyDict, **kwargs) -> dict:
@@ -310,6 +314,7 @@ def ParamNerf(
         return color.astype(jnp.float32), density.astype(jnp.float32)
 
     model = Model(name, params, apply)
+    model.compute_dtype = cdt  # see Nerf's note
     # Static topology handle for the fused Pallas inference kernel
     # (nerftex_tpu/kernels/mlp_pallas.py).
     model.static_topology = {

@@ -27,7 +27,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def chunked_apply(apply_fn, params, inputs, net_chunk: int, remat: "bool | str" = False,
-                  unroll: int = 1):
+                  unroll: int = 1, cast_params=None):
     """Evaluate apply_fn(params, *inputs) over the leading axis in
     mini-batches of net_chunk (a chunk scan keeps peak activation memory at
     one chunk).  inputs: tuple of [N, ...] arrays; outputs concatenated back.
@@ -50,8 +50,28 @@ def chunked_apply(apply_fn, params, inputs, net_chunk: int, remat: "bool | str" 
     `checkpoint_name(..., "encoding")` in models/mlp.py) so the backward
     skips the frequency-lift + sin/cos recompute — ~10% of the train-step
     budget was the sine_convert family, half of it remat recompute
-    (docs/PERF.md §1.4/§1.5); value/grad-identical to remat=True."""
+    (docs/PERF.md §1.4/§1.5); value/grad-identical to remat=True.
+
+    cast_params=<dtype> converts every f32 parameter leaf to that dtype
+    ONCE, OUTSIDE the chunk scan, instead of per use inside each chunk body
+    (models/mlp._dense casts per call; on an already-cast leaf that astype
+    is a no-op).  Consequence for the TRANSPOSE: the scan accumulates each
+    weight's chunk gradients in the COMPUTE dtype/layout and converts to
+    f32 once at the cast site — instead of one bf16->f32
+    convert-and-relayout fusion per leaf per chunk (the §1.4
+    `bf16[32,2,8,128]` weight-grad relayout family, ~11% of the step).
+    Numerics: bit-identical when cast_params == the leaves' dtype (no-op
+    cast); for bf16 the per-chunk gradient SUMMATION rounds to bf16 between
+    chunks (~2^-9 relative per add) rather than f32 — pinned by
+    tests/test_cast_once.py and gated on measured convergence quality."""
     n = inputs[0].shape[0]
+    if cast_params is not None:
+        cast_params = jnp.dtype(cast_params)
+        params = jax.tree.map(
+            lambda w: w.astype(cast_params)
+            if getattr(w, "dtype", None) == jnp.float32 else w,
+            params,
+        )
     if isinstance(remat, str) and remat != "save_encodings":
         raise ValueError(
             f"remat={remat!r}: the only string policy is 'save_encodings' "
@@ -106,6 +126,7 @@ class Renderer:
         map_exr: bool = False,
         remat_net_chunks=False,  # False | True | "save_encodings"
         net_chunk_unroll: int = 1,
+        cast_params_once: bool = False,
         **kwargs,
     ) -> None:
         self.model = model
@@ -125,6 +146,9 @@ class Renderer:
         self.remat_net_chunks = remat_net_chunks
         # Chunk-scan unroll factor (chunked_apply docstring; PERF.md §1.6).
         self.net_chunk_unroll = int(net_chunk_unroll)
+        # Cast params to the model's compute dtype once per step, outside
+        # the chunk scan (chunked_apply docstring; PERF.md §1.7).
+        self.cast_params_once = bool(cast_params_once)
         self._call_counter = 0
         self._jit_cache = {}
 
@@ -252,6 +276,8 @@ class Renderer:
             model.apply, model_params, (pos_flat, dirs_flat, params_flat),
             self.net_chunk, remat=self.remat_net_chunks,
             unroll=self.net_chunk_unroll,
+            cast_params=(getattr(model, "compute_dtype", None)
+                         if self.cast_params_once else None),
         )
         return color.reshape(r, s, 3), density.reshape(r, s)
 

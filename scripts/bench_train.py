@@ -48,6 +48,13 @@ def main():
              "accumulate fusion overhead; grads match unroll=1 to ~1 ulp)",
     )
     ap.add_argument(
+        "--cast-once", action="store_true",
+        help="cast params to the compute dtype once per step, outside the "
+             "net-chunk scan: weight-grad accumulation stays in the compute "
+             "dtype/layout across chunks and converts to f32 once "
+             "(docs/PERF.md §1.7)",
+    )
+    ap.add_argument(
         "--flat-params", action="store_true",
         help="single flat theta per model: one wide grad accumulate + one "
              "fused Adam chain instead of per-leaf small ops (docs/PERF.md "
@@ -82,6 +89,7 @@ def main():
         "n_samples": 256, "render_chunk": 32768, "net_chunk": args.net_chunk,
         "remat_net_chunks": args.remat,
         "net_chunk_unroll": args.unroll,
+        "cast_params_once": args.cast_once,
         "perturb": True, "raw_noise_std": 0.0, **models,
     }))
     loss_fn = util.instantiate(EasyDict({
