@@ -154,8 +154,17 @@ _PALLAS_TEX_ROWS = int(os.environ.get("NERFTEX_PALLAS_TEX_ROWS", "8"))
 # plush S=320/K=128 tier — PERF §2.17/§2.18).  sel_k can flip vs XLA only
 # on ~1e-6 cum/dist knife edges (different reduce/cumsum association —
 # tests/test_selk_kernel.py pins this); grid-path golden checks pin the
-# in-frame result.  Default OFF pending the round-5d in-frame A/B.
-_PALLAS_SELK = os.environ.get("NERFTEX_PALLAS_SELK", "0") == "1"
+# in-frame result.  The round-5d in-frame A/B made this a PER-SCENE knob
+# (docs/PERF.md §2.22): plush +2.9% (heavy nearest_blend overlap, S=320
+# K=128) but carpet north-star -18.8% — so the default comes from the
+# scene's adopted operating point (DeviceInstancer(pallas_selk=...),
+# nerftex_tpu/operating_points.py) and the env var is an override/kill
+# switch in either direction when set.
+def _selk_enabled(config_default: bool) -> bool:
+    env = os.environ.get("NERFTEX_PALLAS_SELK")
+    if env is not None:
+        return env == "1"
+    return bool(config_default)
 
 from nerftex_tpu.instancing.scene import Scene
 from nerftex_tpu.ops.volume import mean_distance
@@ -687,8 +696,11 @@ class DeviceInstancer:
         shadow_tri_cull_budget: int = 0,
         seed: int = 0,
         deterministic_offset: bool = False,
+        pallas_selk: bool = False,
     ):
         self.ds = DeviceScene(scene)
+        # Per-scene overlap-resolution kernel choice (see _selk_enabled).
+        self.pallas_selk = bool(pallas_selk)
         self.max_hits = max_hits
         self.ray_block = ray_block
         self.shadow_samples = shadow_samples
@@ -1352,7 +1364,7 @@ class DeviceInstancer:
         method = ds.instance_sampling_method
         if method not in ("random", "nearest", "nearest_blend"):
             raise ValueError(f"unknown instance_sampling_method {method}")
-        if _PALLAS_SELK:
+        if _selk_enabled(self.pallas_selk):
             from nerftex_tpu.kernels.selk_resolve import selk_resolve
 
             sel_k, p_sel, n_active = selk_resolve(

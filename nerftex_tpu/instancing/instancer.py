@@ -41,6 +41,7 @@ class Instancer:
         shadow_tri_cull_budget: int = 0,
         seed: int = 0,
         deterministic_offset: bool = False,
+        pallas_selk: bool = False,
     ):
         self.scene = Scene(
             b_0,
@@ -80,6 +81,7 @@ class Instancer:
             shadow_tri_cull_budget=shadow_tri_cull_budget,
             seed=seed,
             deterministic_offset=deterministic_offset,
+            pallas_selk=pallas_selk,
         )
 
     def n_instances(self) -> int:

@@ -53,6 +53,11 @@ OPERATING_POINTS = {
             "tri_cull_budget": 1024,
             "shadow_cull_budget": 768,
             "shadow_tri_cull_budget": 1536,
+            # Pallas overlap-resolution kernel: a PER-SCENE adopt (round-5d
+            # A/B, docs/PERF.md §2.22) — +2.9% on plush's S=320/K=128
+            # nearest_blend tier, but -18.8% on the carpet north-star, so
+            # only plush turns it on.  NERFTEX_PALLAS_SELK overrides.
+            "pallas_selk": 1,
         },
     },
 }

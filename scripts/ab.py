@@ -63,7 +63,8 @@ def _scene_preset(scene):
             "max_steps_per_ray": "--step-cap", "cull_budget": "--cull",
             "tri_cull_budget": "--tri-cull",
             "shadow_cull_budget": "--shadow-cull",
-            "shadow_tri_cull_budget": "--shadow-tri-cull"}
+            "shadow_tri_cull_budget": "--shadow-tri-cull",
+            "pallas_selk": "--selk"}
     cmd = ["python", "scripts/bench_scene.py", scene]
     for k, v in operating_points.resolve(scene)["instancer"].items():
         cmd += [flag[k], str(v)]

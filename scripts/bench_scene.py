@@ -114,6 +114,9 @@ def main():
     ap.add_argument("--tri-cull", type=int, default=0, help="tri_cull_budget (0 = off)")
     ap.add_argument("--shadow-cull", type=int, default=0, help="shadow_cull_budget (0 = off)")
     ap.add_argument("--shadow-tri-cull", type=int, default=0, help="shadow_tri_cull_budget (0 = off)")
+    ap.add_argument("--selk", type=int, default=0,
+                    help="pallas_selk overlap-resolution kernel (per-scene "
+                         "adopt, docs/PERF.md §2.22; 0 = XLA chain)")
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--trace", default=None, help="capture a jax.profiler trace of one warm frame into DIR")
     ap.add_argument(
@@ -161,6 +164,8 @@ def main():
         rcfg.instancer_config.update({"shadow_cull_budget": args.shadow_cull})
     if args.shadow_tri_cull:
         rcfg.instancer_config.update({"shadow_tri_cull_budget": args.shadow_tri_cull})
+    if args.selk:
+        rcfg.instancer_config.update({"pallas_selk": True})
     n_rays = ds.height * ds.width
     rcfg.update(
         {"render_chunk": args.chunk or n_rays, "sorted_blocks": not args.dense}

@@ -18,7 +18,8 @@ def psnr(a, b):
 
 
 def run(n_iters=2000, size=32, n_images=48, width=128, depth=6, n_samples=96,
-        rays_per_image=128, batch=4, lrate=2e-3, report_every=500, seed=0):
+        rays_per_image=128, batch=4, lrate=2e-3, report_every=500, seed=0,
+        dtype="float32", net_chunk=65536, remat=False, cast_once=False):
     import jax
     from nerftex_tpu.utils.cache import enable_compilation_cache
 
@@ -44,6 +45,7 @@ def run(n_iters=2000, size=32, n_images=48, width=128, depth=6, n_samples=96,
         "dir_embedding": {"module": "network.model.FourierFeatures", "n_freq_bands": 4},
         "param_embedding": {"module": "network.model.FourierFeatures", "n_freq_bands": 4},
         "n_parameters": [1, 6], "depth": depth, "width": width, "skips": [depth // 2],
+        "compute_dtype": dtype,
     }))
     from nerftex_tpu.render.renderer import Renderer
     from nerftex_tpu.render.loss import AlphaLoss
@@ -52,7 +54,8 @@ def run(n_iters=2000, size=32, n_images=48, width=128, depth=6, n_samples=96,
     from nerftex_tpu.ops.proxy import aabb_intersect_np
 
     renderer = Renderer(model=models["model"], n_samples=n_samples, perturb=True,
-                        render_chunk=size * size)
+                        render_chunk=size * size, net_chunk=net_chunk,
+                        remat_net_chunks=remat, cast_params_once=cast_once)
     loss_fn = AlphaLoss(loss_fn="network.loss.smape", alpha_loss_fn="network.loss.mse")
     optimizer = make_optimizer(lrate, 500)
     step_fn = make_train_step(renderer, loss_fn, optimizer, False, [1, 1, 1.0])
@@ -121,5 +124,22 @@ if __name__ == "__main__":
     ap.add_argument("--iters", type=int, default=2000)
     ap.add_argument("--size", type=int, default=32)
     ap.add_argument("--report-every", type=int, default=500)
+    # Train-numerics knobs so convergence gates can run at the SHIPPED
+    # operating point (bf16 + chunk scan + remat), not just f32 defaults.
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument(
+        "--net-chunk", type=int, default=65536,
+        help="set below batch*rays*n_samples to exercise the chunk scan",
+    )
+    ap.add_argument(
+        "--remat", nargs="?", const=True, default=False,
+        choices=[True, False, "save_encodings"],
+        type=lambda s: {"1": True, "true": True, "0": False, "false": False}
+                       .get(s.lower(), s),
+    )
+    ap.add_argument("--cast-once", action="store_true",
+                    help="renderer cast_params_once (docs/PERF.md §1.7)")
     args = ap.parse_args()
-    run(n_iters=args.iters, size=args.size, report_every=args.report_every)
+    run(n_iters=args.iters, size=args.size, report_every=args.report_every,
+        dtype=args.dtype, net_chunk=args.net_chunk, remat=args.remat,
+        cast_once=args.cast_once)

@@ -168,15 +168,17 @@ def assets(tmp_path_factory):
 
 @pytest.mark.parametrize("method", ["nearest", "nearest_blend", "random"])
 def test_instancer_grid_path_parity(assets, method, monkeypatch):
-    """NERFTEX_PALLAS_SELK gate ON vs OFF through the real DeviceInstancer
-    grid path on the cloth scene.  'nearest'/'random' picks are exact
-    (order-independent min / integer-valued cumsum), so every output must
-    match bit-for-bit up to cross-graph fma noise; 'nearest_blend' may flip
-    on ~ulp cum knife edges, so only a vanishing mismatch fraction is
-    allowed and matched samples must agree."""
+    """pallas_selk ON vs OFF through the real DeviceInstancer grid path on
+    the cloth scene (the per-scene config knob, operating_points.py;
+    NERFTEX_PALLAS_SELK env stays unset here so the kwarg decides).
+    'nearest'/'random' picks are exact (order-independent min /
+    integer-valued cumsum), so every output must match bit-for-bit up to
+    cross-graph fma noise; 'nearest_blend' may flip on ~ulp cum knife
+    edges, so only a vanishing mismatch fraction is allowed and matched
+    samples must agree."""
     import os
 
-    from nerftex_tpu.instancing import device as device_mod
+    monkeypatch.delenv("NERFTEX_PALLAS_SELK", raising=False)
     from nerftex_tpu.instancing.device import DeviceInstancer
     from nerftex_tpu.instancing.scene import Scene
 
@@ -190,7 +192,6 @@ def test_instancer_grid_path_parity(assets, method, monkeypatch):
 
     outs = {}
     for flag in (False, True):
-        monkeypatch.setattr(device_mod, "_PALLAS_SELK", flag)
         scene = Scene(
             b_0=[-1.4, -1.2, -0.1],
             b_1=[1.2, 1.2, 1.8],
@@ -202,7 +203,8 @@ def test_instancer_grid_path_parity(assets, method, monkeypatch):
             os.path.join(assets, "cloth_mesh.ply"), 0.09,
             os.path.join(assets, "cloth_anchor_points.ply"),
         )
-        dev = DeviceInstancer(scene, max_hits=32, ray_block=16)
+        dev = DeviceInstancer(scene, max_hits=32, ray_block=16,
+                              pallas_selk=flag)
         out = dev.get_model_input(rays_o, rays_d, params, 64, 0.04)
         outs[flag] = {k: np.asarray(v) for k, v in out.items()}
 
